@@ -1,0 +1,108 @@
+"""Episodic-memory window index / mask tables and the rollout-tape index math.
+
+The reference builds two small host tensors once (trainer.py:76-99):
+
+* ``memory_mask`` — a ``tril(ones(L, L), diagonal=-1)`` boolean table whose row
+  ``min(episode_step, L-1)`` is the key-padding mask for the current step.  Row 0
+  is all-False: at episode step 0 every key is masked, and the reference's
+  ``masked_fill(-1e20)`` + softmax yields a *uniform* attention over the (zero)
+  memory slots — a quirk we reproduce bit-for-bit (transformer.py:66-69).
+* ``memory_indices`` — per episode step, the absolute episode-slot indices of
+  the sliding memory window: ``[0..L-1]`` for the first ``L-1`` steps, then
+  ``[e-L+1 .. e]`` (trainer.py:88-99).
+
+The TPU-native redesign replaces the reference's per-episode Python list of
+memory tensors + clone-on-done (buffer.py:41-47, trainer.py:195-213) with a
+**rollout tape**: every new memory item produced at rollout step ``t`` is
+written once to ``tape[w, t]``; training-time windows are reconstructed from
+(tape, pre-rollout snapshot) via pure index arithmetic — see
+``compute_window_sources``.  This stores each memory item exactly once (the
+reference duplicates whole episodes via ``clone``) and makes the entire rollout
+a single ``lax.scan``.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def build_memory_mask(memory_length: int) -> np.ndarray:
+    """Boolean (L, L) mask table; True = attendable (reference: trainer.py:78)."""
+    return np.tril(np.ones((memory_length, memory_length), dtype=bool), k=-1)
+
+
+def build_memory_indices(max_episode_steps: int, memory_length: int) -> np.ndarray:
+    """(max_episode_steps, L) int32 table of absolute episode-slot indices for the
+    sliding window at each episode step (reference: trainer.py:88-99)."""
+    L = memory_length
+    T = max_episode_steps
+    if T < L:
+        raise ValueError(f"max_episode_steps ({T}) must be >= memory_length ({L})")
+    repetitions = np.repeat(np.arange(L, dtype=np.int32)[None, :], L - 1, axis=0)
+    sliding = np.stack(
+        [np.arange(i, i + L, dtype=np.int32) for i in range(T - L + 1)])
+    return np.concatenate([repetitions, sliding], axis=0)
+
+
+class WindowSources(NamedTuple):
+    """Per-sample window source locations for training-time reconstruction.
+
+    For each flattened sample ``(w, t)`` and window position ``j``:
+
+    * ``flat_index[w, t, j]`` — index into the per-worker combined source array
+      ``concat([snapshot[w], tape[w]], axis=0)`` of length ``max_ep + T``.
+    * ``valid[w, t, j]`` — whether the slot holds real memory content.  Invalid
+      slots correspond to never-written episode slots; the reference stores
+      zeros there (and still adds positional encoding before projection,
+      transformer.py:236-243), so consumers must substitute zero content.
+    * ``slot[w, t, j]`` — the absolute episode-slot index (for positional
+      encoding selection), identical to the reference's ``memory_indices``.
+    """
+    flat_index: jax.Array  # (W, T, L) int32
+    valid: jax.Array       # (W, T, L) bool
+    slot: jax.Array        # (W, T, L) int32
+
+
+def compute_window_sources(
+    episode_steps: jax.Array,   # (W, T) int32 — episode step e at each rollout step
+    dones: jax.Array,           # (W, T) bool  — episode terminated at this step
+    index_table: jax.Array,     # (max_ep, L) int32 — build_memory_indices output
+    max_episode_steps: int,
+) -> WindowSources:
+    """Derives training-time memory-window gather indices from rollout metadata.
+
+    Semantics proven equivalent to the reference's episode-memory indirection
+    (buffer.py:41-47, 90; trainer.py:195-213) in tests/test_rollout_semantics.py:
+
+    * A window slot ``s`` of sample ``(w, t)`` at episode step ``e`` was (or will
+      be) written at rollout step ``t_s = t + (s - e)`` of the same episode.
+    * ``t_s < 0``  → written before this rollout: read ``snapshot[w, s]``
+      (only possible for the worker's first, carried-in episode).
+    * ``0 <= t_s`` → read ``tape[w, t_s]``; valid iff ``t_s <= next_end[w, t]``
+      where ``next_end`` is the rollout step at which the sample's episode ends
+      (its last memory write), or ``T-1`` if it outlives the rollout.  This
+      exactly reproduces which slots the reference's stored episode memory had
+      filled at ``prepare_batch_dict`` time — including "future" slots that are
+      masked out but still participate in the episode-step-0 uniform-attention
+      quirk.
+    """
+    W, T = episode_steps.shape
+    slot = index_table[episode_steps]                     # (W, T, L)
+    e = episode_steps[:, :, None]                         # (W, T, 1)
+    t = jnp.arange(T, dtype=jnp.int32)[None, :, None]     # (1, T, 1)
+    t_s = t + (slot - e)                                  # (W, T, L)
+
+    # next_end[w, t] = min over t' >= t of (t' if done[w, t'] else T-1)
+    done_step = jnp.where(dones, jnp.arange(T, dtype=jnp.int32)[None, :], T - 1)
+    next_end = jnp.flip(
+        jax.lax.cummin(jnp.flip(done_step, axis=1), axis=1), axis=1)  # (W, T)
+    next_end = next_end[:, :, None]
+
+    from_snapshot = t_s < 0
+    valid = from_snapshot | (t_s <= next_end)
+    flat_index = jnp.where(from_snapshot, slot, max_episode_steps + t_s)
+    flat_index = jnp.clip(flat_index, 0, max_episode_steps + T - 1)
+    return WindowSources(flat_index.astype(jnp.int32), valid, slot.astype(jnp.int32))

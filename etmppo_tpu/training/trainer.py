@@ -1,0 +1,184 @@
+"""Training orchestration (reference: trainer.py's PPOTrainer, redesigned).
+
+The reference interleaves host-side Python with per-step device<->host traffic;
+here the host loop only (a) launches the jitted rollout, (b) launches the
+jitted PPO update, (c) drains small episode-statistic arrays for logging.  All
+tensors stay on device between the two jits.
+
+Public surface mirrors the reference: ``PPOTrainer(config, run_id)``,
+``.run_training()``, ``.close()`` (trainer.py:16-17, 101, 364).
+"""
+from __future__ import annotations
+
+import time
+from collections import deque
+from typing import Dict, List, Optional
+
+import jax
+import numpy as np
+
+from ..config import TrainConfig
+from ..envs.factory import create_env
+from ..models.actor_critic import ActorCriticModel
+from . import metrics as metrics_lib
+from .checkpoint import Checkpointer, save_model
+from .ppo import PPOUpdateFn, STAT_NAMES
+from .rollout import RolloutFn
+
+
+class PPOTrainer:
+    def __init__(self, config: TrainConfig, run_id: str = "run",
+                 enable_metrics: bool = True):
+        self.config = config
+        self.run_id = run_id
+
+        # Environment (vmapped pure-JAX env — replaces the reference's dummy
+        # probe env + N worker processes, trainer.py:44-49, 63).
+        self.env = create_env(config.environment)
+        self.max_episode_steps = self.env.max_episode_steps
+
+        # Model + params.
+        self.model = ActorCriticModel(
+            config=config, obs_shape=self.env.observation_shape,
+            action_branches=self.env.action_branches,
+            max_episode_steps=self.max_episode_steps)
+        rng = jax.random.PRNGKey(config.seed)
+        rng, init_rng, state_rng, self._update_rng = jax.random.split(rng, 4)
+        self.params = self.model.init_params(init_rng)
+
+        # Jitted rollout + update.
+        self.rollout_fn = RolloutFn(config, self.env, self.model)
+        self.update_fn = PPOUpdateFn(config, self.model, self.max_episode_steps)
+        self.opt_state = self.update_fn.init_opt_state(self.params)
+        self.rollout_state = self.rollout_fn.init_state(state_rng)
+
+        self.update = 0
+        self.writer = (metrics_lib.MetricsWriter(config.summary_dir, run_id)
+                       if enable_metrics else None)
+        self.checkpointer: Optional[Checkpointer] = None
+        if config.checkpoint_interval > 0:
+            self.checkpointer = Checkpointer(config.checkpoint_dir, run_id)
+
+        self.episode_infos: deque = deque(maxlen=100)
+        self.env_steps_per_update = config.n_workers * config.worker_steps
+
+    # ------------------------------------------------------------------
+
+    def _extract_episode_infos(self, batch) -> List[Dict[str, float]]:
+        """Pulls completed-episode statistics to host (reference worker-info
+        dicts, trainer.py:195-199), preserving (t, w) completion order."""
+        dones = np.asarray(batch.dones)           # (W, T)
+        infos = {k: np.asarray(v) for k, v in batch.episode_infos.items()}
+        episode_list = []
+        ws, ts = np.nonzero(dones)
+        order = np.argsort(ts * dones.shape[0] + ws, kind="stable")
+        for i in order:
+            w, t = ws[i], ts[i]
+            episode_list.append({k: float(v[w, t]) for k, v in infos.items()})
+        return episode_list
+
+    def train_one_update(self) -> Dict[str, float]:
+        cfg = self.config
+        lr = cfg.learning_rate_schedule.value(self.update)
+        beta = cfg.beta_schedule.value(self.update)
+        clip_range = cfg.clip_range_schedule.value(self.update)
+
+        self.rollout_state, batch = self.rollout_fn(
+            self.params, self.rollout_state)
+
+        self._update_rng, epoch_rng = jax.random.split(self._update_rng)
+        self.params, self.opt_state, stats, grad_info = self.update_fn(
+            self.params, self.opt_state, batch, epoch_rng, lr, clip_range, beta)
+
+        self.episode_infos.extend(self._extract_episode_infos(batch))
+        episode_result = metrics_lib.process_episode_info(
+            list(self.episode_infos))
+
+        stats_np = np.asarray(stats)
+        stat_dict = {name: float(stats_np[i]) for i, name in enumerate(STAT_NAMES)}
+        value_mean = float(np.asarray(batch.values).mean())
+        advantage_mean = float(np.asarray(batch.advantages).mean())
+
+        if self.writer is not None:
+            scalars = metrics_lib.training_scalars(
+                stat_dict, episode_result, value_mean, advantage_mean)
+            for key, value in grad_info.items():
+                scalars["gradients/" + key] = float(np.asarray(value))
+            self.writer.write(self.update, scalars)
+
+        result = dict(stat_dict)
+        result.update(episode_result)
+        result["value_mean"] = value_mean
+        result["advantage_mean"] = advantage_mean
+        self.update += 1
+        return result
+
+    def run_training(self, print_every: int = 1) -> Dict[str, float]:
+        cfg = self.config
+        result: Dict[str, float] = {}
+        start = time.perf_counter()
+        for _ in range(cfg.updates):
+            result = self.train_one_update()
+            if print_every and (self.update - 1) % print_every == 0:
+                self._print_update(result)
+            if (self.checkpointer is not None
+                    and self.update % cfg.checkpoint_interval == 0):
+                self._save_checkpoint()
+        elapsed = time.perf_counter() - start
+        total_steps = cfg.updates * self.env_steps_per_update
+        result["env_steps_per_second"] = total_steps / max(elapsed, 1e-9)
+        self._save_model()
+        return result
+
+    def _print_update(self, r: Dict[str, float]) -> None:
+        """Stdout line in the reference's format (trainer.py:127-136)."""
+        update = self.update - 1
+        base = (
+            f"{update:4} reward={r.get('reward_mean', 0.0):.2f} "
+            f"std={r.get('reward_std', 0.0):.2f} "
+            f"length={r.get('length_mean', 0.0):.1f} "
+            f"std={r.get('length_std', 0.0):.2f} ")
+        if "success" in r:
+            base += f"success={r['success']:.2f} "
+        base += (
+            f"pi_loss={r['policy_loss']:3f} v_loss={r['value_loss']:3f} "
+            f"entropy={r['entropy']:.3f} loss={r['loss']:3f} "
+            f"value={r['value_mean']:.3f} advantage={r['advantage_mean']:.3f}")
+        print(base)
+
+    # ------------------------------------------------------------------
+
+    def _training_state(self) -> Dict:
+        return dict(
+            params=self.params, opt_state=self.opt_state,
+            rollout_state=self.rollout_state, update_rng=self._update_rng,
+            update=self.update)
+
+    def _save_checkpoint(self) -> None:
+        assert self.checkpointer is not None
+        self.checkpointer.save(self.update, self._training_state())
+
+    def resume_from_checkpoint(self) -> bool:
+        """Restores the latest checkpoint if one exists (no reference
+        equivalent — the reference cannot resume at all)."""
+        if self.checkpointer is None or self.checkpointer.latest_update() is None:
+            return False
+        state = self.checkpointer.restore(self._training_state())
+        self.params = state["params"]
+        self.opt_state = state["opt_state"]
+        self.rollout_state = state["rollout_state"]
+        self._update_rng = state["update_rng"]
+        self.update = int(state["update"])
+        return True
+
+    def _save_model(self) -> None:
+        import os
+        path = os.path.join(self.config.checkpoint_dir, self.run_id + ".nn")
+        save_model(path, self.params, self.config)
+        print("Model saved to " + path)
+
+    def close(self) -> None:
+        if self.writer is not None:
+            self.writer.close()
+        if self.checkpointer is not None:
+            self.checkpointer.close()
