@@ -114,8 +114,8 @@ class TransformerBlock(nn.Module):
         ln = cfg.layer_norm
 
         if ln == "pre":
-            query_ = nn.LayerNorm(name="norm1")(query)
-            value = nn.LayerNorm(name="norm_kv")(value)
+            query_ = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
+            value = nn.LayerNorm(epsilon=1e-5, name="norm_kv")(value)
             key = value
         else:
             query_ = query
@@ -129,8 +129,8 @@ class TransformerBlock(nn.Module):
             h = attention + query
 
         if ln == "post":
-            h = nn.LayerNorm(name="norm1")(h)
-        h_ = nn.LayerNorm(name="norm2")(h) if ln == "pre" else h
+            h = nn.LayerNorm(epsilon=1e-5, name="norm1")(h)
+        h_ = nn.LayerNorm(epsilon=1e-5, name="norm2")(h) if ln == "pre" else h
 
         forward = nn.relu(nn.Dense(
             D, kernel_init=torch_linear_kernel, bias_init=torch_linear_bias(D),
@@ -142,7 +142,7 @@ class TransformerBlock(nn.Module):
             out = forward + h
 
         if ln == "post":
-            out = nn.LayerNorm(name="norm2")(out)
+            out = nn.LayerNorm(epsilon=1e-5, name="norm2")(out)
         return out
 
 
