@@ -52,6 +52,17 @@ class PPOTrainer:
         self.opt_state = self.update_fn.init_opt_state(self.params)
         self.rollout_state = self.rollout_fn.init_state(state_rng)
 
+        # Multi-device data parallelism (GSPMD over a ("data",) mesh).
+        self.mesh = None
+        if config.num_devices > 1:
+            from ..parallel.mesh import (make_mesh, replicate_tree,
+                                         shard_worker_tree)
+            self.mesh = make_mesh(config.num_devices)
+            self.params = replicate_tree(self.params, self.mesh)
+            self.opt_state = replicate_tree(self.opt_state, self.mesh)
+            self.rollout_state = shard_worker_tree(
+                self.rollout_state, self.mesh, config.n_workers)
+
         self.update = 0
         self.writer = (metrics_lib.MetricsWriter(config.summary_dir, run_id)
                        if enable_metrics else None)
