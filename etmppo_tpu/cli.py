@@ -1,0 +1,65 @@
+"""Command-line entry points (reference: train.py / enjoy.py CLIs).
+
+Train:  python train.py --config=<yaml> --run-id=<id> [--cpu] [--resume]
+Enjoy:  python enjoy.py --model=<path> [--episodes=N]
+
+``--cpu`` forces the CPU backend (reference: train.py:13-16's --cpu flag);
+by default JAX picks the best available backend (TPU on TPU hosts).
+"""
+from __future__ import annotations
+
+import argparse
+
+
+def _force_cpu():
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+
+def train_main(argv=None):
+    parser = argparse.ArgumentParser(description="Train a TrXL/GTrXL PPO agent")
+    parser.add_argument("--config", default="etmppo_tpu/configs/poc_memory_env.yaml",
+                        help="Path to the yaml config file")
+    parser.add_argument("--run-id", default="run", dest="run_id",
+                        help="Tag for summaries and the saved model")
+    parser.add_argument("--cpu", action="store_true",
+                        help="Force training on CPU")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the latest checkpoint for this run-id")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        _force_cpu()
+
+    from .config import load_config
+    from .training.trainer import PPOTrainer
+
+    config = load_config(args.config)
+    trainer = PPOTrainer(config, run_id=args.run_id)
+    if args.resume:
+        resumed = trainer.resume_from_checkpoint()
+        print(f"Resumed from checkpoint at update {trainer.update}"
+              if resumed else "No checkpoint found; starting fresh")
+    try:
+        result = trainer.run_training()
+        print(f"env steps/s: {result.get('env_steps_per_second', 0.0):,.0f}")
+    finally:
+        trainer.close()
+
+
+def enjoy_main(argv=None):
+    parser = argparse.ArgumentParser(description="Run a trained model")
+    parser.add_argument("--model", default="./models/run.nn",
+                        help="Path to the trained model")
+    parser.add_argument("--episodes", type=int, default=1)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--no-render", action="store_true")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        _force_cpu()
+
+    from .enjoy import run_episodes
+
+    run_episodes(args.model, episodes=args.episodes,
+                 render=not args.no_render)
