@@ -104,6 +104,9 @@ class TrainConfig:
     summary_dir: str = "./summaries"
     # Data-parallel device count (1 = single chip). Mesh axis name: "data".
     num_devices: int = 1
+    # Updates fused into one device program (lax.scan over updates); 1 =
+    # launch-per-update like the reference. Higher amortizes dispatch latency.
+    updates_per_launch: int = 8
 
     def __post_init__(self):
         if (self.n_workers * self.worker_steps) % self.n_mini_batch != 0:
@@ -152,7 +155,8 @@ def config_from_dict(raw: Dict[str, Any]) -> TrainConfig:
         if name in raw:
             kwargs[name] = float(raw[name])
     for name in ("updates", "epochs", "n_workers", "worker_steps", "n_mini_batch",
-                 "hidden_layer_size", "seed", "checkpoint_interval", "num_devices"):
+                 "hidden_layer_size", "seed", "checkpoint_interval", "num_devices",
+                 "updates_per_launch"):
         if name in raw:
             kwargs[name] = int(raw[name])
     for name in ("compute_dtype", "checkpoint_dir", "summary_dir"):

@@ -29,6 +29,8 @@ from .rollout import RolloutFn
 class PPOTrainer:
     def __init__(self, config: TrainConfig, run_id: str = "run",
                  enable_metrics: bool = True):
+        from ..utils.runtime import enable_compilation_cache
+        enable_compilation_cache()
         self.config = config
         self.run_id = run_id
 
@@ -46,11 +48,13 @@ class PPOTrainer:
         rng, init_rng, state_rng, self._update_rng = jax.random.split(rng, 4)
         self.params = self.model.init_params(init_rng)
 
-        # Jitted rollout + update.
+        # Jitted rollout + update (+ fused multi-update loop).
         self.rollout_fn = RolloutFn(config, self.env, self.model)
         self.update_fn = PPOUpdateFn(config, self.model, self.max_episode_steps)
         self.opt_state = self.update_fn.init_opt_state(self.params)
         self.rollout_state = self.rollout_fn.init_state(state_rng)
+        from .fused import FusedTrainLoop
+        self.fused_loop = FusedTrainLoop(self.rollout_fn, self.update_fn)
 
         # Multi-device data parallelism (GSPMD over a ("data",) mesh).
         self.mesh = None
@@ -75,11 +79,11 @@ class PPOTrainer:
 
     # ------------------------------------------------------------------
 
-    def _extract_episode_infos(self, batch) -> List[Dict[str, float]]:
+    def _extract_episode_infos(self, dones, infos) -> List[Dict[str, float]]:
         """Pulls completed-episode statistics to host (reference worker-info
         dicts, trainer.py:195-199), preserving (t, w) completion order."""
-        dones = np.asarray(batch.dones)           # (W, T)
-        infos = {k: np.asarray(v) for k, v in batch.episode_infos.items()}
+        dones = np.asarray(dones)                 # (W, T)
+        infos = {k: np.asarray(v) for k, v in infos.items()}
         episode_list = []
         ws, ts = np.nonzero(dones)
         order = np.argsort(ts * dones.shape[0] + ws, kind="stable")
@@ -88,27 +92,16 @@ class PPOTrainer:
             episode_list.append({k: float(v[w, t]) for k, v in infos.items()})
         return episode_list
 
-    def train_one_update(self) -> Dict[str, float]:
-        cfg = self.config
-        lr = cfg.learning_rate_schedule.value(self.update)
-        beta = cfg.beta_schedule.value(self.update)
-        clip_range = cfg.clip_range_schedule.value(self.update)
-
-        self.rollout_state, batch = self.rollout_fn(
-            self.params, self.rollout_state)
-
-        self._update_rng, epoch_rng = jax.random.split(self._update_rng)
-        self.params, self.opt_state, stats, grad_info = self.update_fn(
-            self.params, self.opt_state, batch, epoch_rng, lr, clip_range, beta)
-
-        self.episode_infos.extend(self._extract_episode_infos(batch))
+    def _record_update(self, stat_vec, grad_info, episode_dones, episode_infos,
+                       value_mean: float, advantage_mean: float
+                       ) -> Dict[str, float]:
+        """Logging/metrics for one completed update (host side)."""
+        self.episode_infos.extend(
+            self._extract_episode_infos(episode_dones, episode_infos))
         episode_result = metrics_lib.process_episode_info(
             list(self.episode_infos))
-
-        stats_np = np.asarray(stats)
+        stats_np = np.asarray(stat_vec)
         stat_dict = {name: float(stats_np[i]) for i, name in enumerate(STAT_NAMES)}
-        value_mean = float(np.asarray(batch.values).mean())
-        advantage_mean = float(np.asarray(batch.advantages).mean())
 
         if self.writer is not None:
             scalars = metrics_lib.training_scalars(
@@ -124,14 +117,76 @@ class PPOTrainer:
         self.update += 1
         return result
 
+    def _schedule_values(self, k: int):
+        cfg = self.config
+        steps = range(self.update, self.update + k)
+        return (np.array([cfg.learning_rate_schedule.value(s) for s in steps],
+                         np.float32),
+                np.array([cfg.clip_range_schedule.value(s) for s in steps],
+                         np.float32),
+                np.array([cfg.beta_schedule.value(s) for s in steps],
+                         np.float32))
+
+    def train_chunk(self, k: int) -> List[Dict[str, float]]:
+        """Runs k updates as ONE fused device program (training/fused.py)."""
+        lrs, clips, betas = self._schedule_values(k)
+        # RNG is split inside the scan exactly as train_one_update splits it,
+        # so fused and unfused paths are bit-identical.
+        (self.params, self.opt_state, self.rollout_state, self._update_rng,
+         outs) = self.fused_loop(self.params, self.opt_state,
+                                 self.rollout_state, self._update_rng,
+                                 lrs, clips, betas)
+        stats = np.asarray(outs.stats)                  # (k, 6)
+        grad_info = {key: np.asarray(v) for key, v in outs.grad_info.items()}
+        dones = np.asarray(outs.dones)                  # (k, W, T)
+        infos = {key: np.asarray(v) for key, v in outs.episode_infos.items()}
+        value_means = np.asarray(outs.value_mean)
+        adv_means = np.asarray(outs.advantage_mean)
+        results = []
+        for i in range(k):
+            results.append(self._record_update(
+                stats[i], {key: v[i] for key, v in grad_info.items()},
+                dones[i], {key: v[i] for key, v in infos.items()},
+                float(value_means[i]), float(adv_means[i])))
+        return results
+
+    def train_one_update(self) -> Dict[str, float]:
+        cfg = self.config
+        lr = cfg.learning_rate_schedule.value(self.update)
+        beta = cfg.beta_schedule.value(self.update)
+        clip_range = cfg.clip_range_schedule.value(self.update)
+
+        self.rollout_state, batch = self.rollout_fn(
+            self.params, self.rollout_state)
+
+        self._update_rng, epoch_rng = jax.random.split(self._update_rng)
+        self.params, self.opt_state, stats, grad_info = self.update_fn(
+            self.params, self.opt_state, batch, epoch_rng, lr, clip_range, beta)
+
+        return self._record_update(
+            stats, grad_info, batch.dones, batch.episode_infos,
+            float(np.asarray(batch.values).mean()),
+            float(np.asarray(batch.advantages).mean()))
+
     def run_training(self, print_every: int = 1) -> Dict[str, float]:
         cfg = self.config
         result: Dict[str, float] = {}
         start = time.perf_counter()
-        for _ in range(cfg.updates):
-            result = self.train_one_update()
-            if print_every and (self.update - 1) % print_every == 0:
-                self._print_update(result)
+        while self.update < cfg.updates:
+            remaining = cfg.updates - self.update
+            if cfg.updates_per_launch > 1:
+                k = min(cfg.updates_per_launch, remaining)
+                if cfg.checkpoint_interval > 0:
+                    to_ckpt = cfg.checkpoint_interval - (
+                        self.update % cfg.checkpoint_interval)
+                    k = min(k, to_ckpt)
+                results = self.train_chunk(k)
+            else:
+                results = [self.train_one_update()]
+            for i, result in enumerate(results):
+                update = self.update - len(results) + i
+                if print_every and update % print_every == 0:
+                    self._print_update_at(update, result)
             if (self.checkpointer is not None
                     and self.update % cfg.checkpoint_interval == 0):
                 self._save_checkpoint()
@@ -142,8 +197,10 @@ class PPOTrainer:
         return result
 
     def _print_update(self, r: Dict[str, float]) -> None:
+        self._print_update_at(self.update - 1, r)
+
+    def _print_update_at(self, update: int, r: Dict[str, float]) -> None:
         """Stdout line in the reference's format (trainer.py:127-136)."""
-        update = self.update - 1
         base = (
             f"{update:4} reward={r.get('reward_mean', 0.0):.2f} "
             f"std={r.get('reward_std', 0.0):.2f} "
