@@ -50,17 +50,18 @@ def main():
     cfg = load_config(os.path.join(ROOT, "etmppo_tpu/configs/poc_memory_env.yaml"))
     trainer = PPOTrainer(cfg, run_id="bench", enable_metrics=False)
 
-    # Warmup (compile both jits).
-    for _ in range(2):
-        trainer.train_one_update()
+    # Warmup chunk (compiles the fused program; persistent-cached thereafter).
+    chunk = cfg.updates_per_launch
+    trainer.train_chunk(chunk)
 
-    timed_updates = 30
+    timed_chunks = 4
     jax.block_until_ready(trainer.params)
     t0 = time.perf_counter()
-    for _ in range(timed_updates):
-        trainer.train_one_update()
+    for _ in range(timed_chunks):
+        trainer.train_chunk(chunk)
     jax.block_until_ready(trainer.params)
     elapsed = time.perf_counter() - t0
+    timed_updates = timed_chunks * chunk
 
     steps = timed_updates * cfg.n_workers * cfg.worker_steps
     steps_per_sec = steps / elapsed
