@@ -19,9 +19,22 @@ Behavioral spec (reference: transformer.py — studied, not translated):
   block's memory, selected by absolute episode-slot indices
   (transformer.py:174-186, 236-243).
 
-The forward pass supports an arbitrary query batch shape with a window of L
-keys per sample; both the rollout (B = n_workers) and the training minibatch
-(B = minibatch size) call the same code.
+TPU-native fast paths (no reference equivalent — the reference recomputes
+PE-add + LayerNorm + K/V projections of every window slot at every forward):
+
+* ``project_memory`` applies PE + (pre-LN) norm_kv + K/V projections to memory
+  *source* entries once; because PE/LN/projection depend only on the entry and
+  its absolute slot (never on which window views it), windows of **projected**
+  K/V can then be gathered by index.  The rollout uses this as an append-only
+  KV cache (LLM-decoder style: project each new memory item once); training
+  projects the (snapshot, tape) source array once per minibatch instead of
+  once per window slot — an O(memory_length) FLOP reduction of the dominant
+  term in both phases.
+* ``forward_with_kv`` runs the block stack on pre-projected K/V windows.
+* Unwritten memory slots hold zero content, so their projected K/V equal the
+  projection of the positional encoding alone — ``pe_kv`` supplies those
+  values for masked/invalid slots (preserving the episode-step-0
+  uniform-attention quirk exactly).
 """
 from __future__ import annotations
 
@@ -54,34 +67,49 @@ def sinusoidal_position_table(max_steps: int, dim: int,
 
 
 class MultiHeadAttention(nn.Module):
-    """Masked multi-head attention with the reference's sqrt(embed_dim) scale."""
+    """Masked multi-head attention with the reference's sqrt(embed_dim) scale.
+    K/V projection and the attention contraction are separate methods so K/V
+    can be precomputed per memory-source entry (see module docstring)."""
     embed_dim: int
     num_heads: int
 
-    @nn.compact
-    def __call__(self, values: jax.Array, keys: jax.Array, queries: jax.Array,
-                 mask: Optional[jax.Array]) -> jax.Array:
-        """values/keys: (B, L, D); queries: (B, Q, D); mask: (B, L) bool or None.
-        Returns (B, Q, D)."""
+    def setup(self):
+        D = self.embed_dim
+        self.values = nn.Dense(D, use_bias=False,
+                               kernel_init=torch_linear_kernel, name="values")
+        self.keys = nn.Dense(D, use_bias=False,
+                             kernel_init=torch_linear_kernel, name="keys")
+        self.queries = nn.Dense(D, use_bias=False,
+                                kernel_init=torch_linear_kernel, name="queries")
+        self.fc_out = nn.Dense(D, kernel_init=torch_linear_kernel,
+                               bias_init=torch_linear_bias(D), name="fc_out")
+
+    def project_kv(self, values: jax.Array, keys: jax.Array
+                   ) -> Tuple[jax.Array, jax.Array]:
+        return self.keys(keys), self.values(values)
+
+    def attend(self, k: jax.Array, v: jax.Array, queries: jax.Array,
+               mask: Optional[jax.Array]) -> jax.Array:
+        """k/v: (B, L, D) pre-projected; queries: (B, Q, D) unprojected."""
         D, H = self.embed_dim, self.num_heads
         head = D // H
-        B, L = keys.shape[0], keys.shape[1]
+        B, L = k.shape[0], k.shape[1]
         Q = queries.shape[1]
-
-        dense = lambda name: nn.Dense(
-            D, use_bias=False, kernel_init=torch_linear_kernel, name=name)
-        v = dense("values")(values).reshape(B, L, H, head)
-        k = dense("keys")(keys).reshape(B, L, H, head)
-        q = dense("queries")(queries).reshape(B, Q, H, head)
-
+        q = self.queries(queries).reshape(B, Q, H, head)
+        k = k.reshape(B, L, H, head)
+        v = v.reshape(B, L, H, head)
         energy = jnp.einsum("bqhd,bkhd->bhqk", q, k)
         if mask is not None:
             energy = jnp.where(mask[:, None, None, :], energy, MASK_FILL)
         # Reference quirk: scale by sqrt(embed_dim), not sqrt(head_dim).
         attention = jax.nn.softmax(energy / np.sqrt(D), axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attention, v).reshape(B, Q, D)
-        return nn.Dense(D, kernel_init=torch_linear_kernel,
-                        bias_init=torch_linear_bias(D), name="fc_out")(out)
+        return self.fc_out(out)
+
+    def __call__(self, values: jax.Array, keys: jax.Array, queries: jax.Array,
+                 mask: Optional[jax.Array]) -> jax.Array:
+        k, v = self.project_kv(values, keys)
+        return self.attend(k, v, queries, mask)
 
 
 class GRUGate(nn.Module):
@@ -106,44 +134,58 @@ class TransformerBlock(nn.Module):
     """One TrXL/GTrXL block (reference: transformer.py:88-172)."""
     config: TransformerConfig
 
-    @nn.compact
-    def __call__(self, value: jax.Array, key: jax.Array, query: jax.Array,
-                 mask: Optional[jax.Array]) -> jax.Array:
+    def setup(self):
         cfg = self.config
         D = cfg.embed_dim
+        self.attention = MultiHeadAttention(D, cfg.num_heads, name="attention")
         ln = cfg.layer_norm
-
+        if ln in ("pre", "post"):
+            self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+            self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         if ln == "pre":
-            query_ = nn.LayerNorm(epsilon=1e-5, name="norm1")(query)
-            value = nn.LayerNorm(epsilon=1e-5, name="norm_kv")(value)
-            key = value
-        else:
-            query_ = query
+            self.norm_kv = nn.LayerNorm(epsilon=1e-5, name="norm_kv")
+        if cfg.gtrxl:
+            self.gate1 = GRUGate(D, cfg.gtrxl_bias, name="gate1")
+            self.gate2 = GRUGate(D, cfg.gtrxl_bias, name="gate2")
+        self.fc = nn.Dense(D, kernel_init=torch_linear_kernel,
+                           bias_init=torch_linear_bias(D), name="fc")
 
-        attention = MultiHeadAttention(D, cfg.num_heads, name="attention")(
-            value, key, query_, mask)
+    def project_kv(self, memory: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """PE-added memory entries -> projected (k, v). Applies the shared
+        pre-LN norm_kv first when configured (transformer.py:129-132)."""
+        if self.config.layer_norm == "pre":
+            memory = self.norm_kv(memory)
+        return self.attention.project_kv(memory, memory)
+
+    def attend_and_project(self, k: jax.Array, v: jax.Array, query: jax.Array,
+                           mask: Optional[jax.Array]) -> jax.Array:
+        """Block forward given pre-projected K/V (query: (B, Q, D))."""
+        cfg = self.config
+        ln = cfg.layer_norm
+        query_ = self.norm1(query) if ln == "pre" else query
+        attention = self.attention.attend(k, v, query_, mask)
 
         if cfg.gtrxl:
-            h = GRUGate(D, cfg.gtrxl_bias, name="gate1")(query, attention)
+            h = self.gate1(query, attention)
         else:
             h = attention + query
-
         if ln == "post":
-            h = nn.LayerNorm(epsilon=1e-5, name="norm1")(h)
-        h_ = nn.LayerNorm(epsilon=1e-5, name="norm2")(h) if ln == "pre" else h
-
-        forward = nn.relu(nn.Dense(
-            D, kernel_init=torch_linear_kernel, bias_init=torch_linear_bias(D),
-            name="fc")(h_))
-
+            h = self.norm1(h)
+        h_ = self.norm2(h) if ln == "pre" else h
+        forward = nn.relu(self.fc(h_))
         if cfg.gtrxl:
-            out = GRUGate(D, cfg.gtrxl_bias, name="gate2")(h, forward)
+            out = self.gate2(h, forward)
         else:
             out = forward + h
-
         if ln == "post":
-            out = nn.LayerNorm(epsilon=1e-5, name="norm2")(out)
+            out = self.norm2(out)
         return out
+
+    def __call__(self, value: jax.Array, key: jax.Array, query: jax.Array,
+                 mask: Optional[jax.Array]) -> jax.Array:
+        del key  # K == V always (transformer.py:249)
+        k, v = self.project_kv(value)
+        return self.attend_and_project(k, v, query, mask)
 
 
 class Transformer(nn.Module):
@@ -159,30 +201,19 @@ class Transformer(nn.Module):
     config: TransformerConfig
     max_episode_steps: int
 
-    @nn.compact
-    def __call__(self, h: jax.Array, memories: jax.Array, mask: jax.Array,
-                 memory_indices: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def setup(self):
         cfg = self.config
-        D = cfg.embed_dim
-
-        h = nn.relu(nn.Dense(
-            D, kernel_init=orthogonal(np.sqrt(2)),
-            bias_init=torch_linear_bias(h.shape[-1]),
-            name="linear_embedding")(h))
-
-        pos = self.positional_table()
-        if pos is not None:
-            # Same absolute-slot encoding added to every block's memory
-            # (reference: transformer.py:236-243).
-            memories = memories + pos[memory_indices][:, :, None, :]
-
-        out_memories = []
-        for i in range(cfg.num_blocks):
-            out_memories.append(jax.lax.stop_gradient(h))
-            mem_i = memories[:, :, i]
-            h = TransformerBlock(cfg, name=f"block_{i}")(
-                mem_i, mem_i, h[:, None, :], mask)[:, 0, :]
-        return h, jnp.stack(out_memories, axis=1)
+        # Transformer input comes from lin_hidden whose width == embed_dim
+        # (reference: model.py:44-48), so fan_in == embed_dim.
+        self.linear_embedding = nn.Dense(
+            cfg.embed_dim, kernel_init=orthogonal(np.sqrt(2)),
+            bias_init=torch_linear_bias(cfg.embed_dim), name="linear_embedding")
+        self.blocks = [TransformerBlock(cfg, name=f"block_{i}")
+                       for i in range(cfg.num_blocks)]
+        if cfg.positional_encoding == "learned":
+            self.pos_embedding = self.param(
+                "pos_embedding", nn.initializers.normal(1.0),
+                (self.max_episode_steps, cfg.embed_dim))
 
     def positional_table(self) -> Optional[jax.Array]:
         cfg = self.config
@@ -190,7 +221,70 @@ class Transformer(nn.Module):
             return jnp.asarray(
                 sinusoidal_position_table(self.max_episode_steps, cfg.embed_dim))
         if cfg.positional_encoding == "learned":
-            return self.param(
-                "pos_embedding", nn.initializers.normal(1.0),
-                (self.max_episode_steps, cfg.embed_dim))
+            return self.pos_embedding
         return None
+
+    def embed(self, h: jax.Array) -> jax.Array:
+        return nn.relu(self.linear_embedding(h))
+
+    def __call__(self, h: jax.Array, memories: jax.Array, mask: jax.Array,
+                 memory_indices: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Reference-semantics path: raw memory windows, projections inside."""
+        cfg = self.config
+        h = self.embed(h)
+        pos = self.positional_table()
+        if pos is not None:
+            # Same absolute-slot encoding added to every block's memory
+            # (reference: transformer.py:236-243).
+            memories = memories + pos[memory_indices][:, :, None, :]
+
+        out_memories = []
+        for i, block in enumerate(self.blocks):
+            out_memories.append(jax.lax.stop_gradient(h))
+            mem_i = memories[:, :, i]
+            h = block(mem_i, mem_i, h[:, None, :], mask)[:, 0, :]
+        return h, jnp.stack(out_memories, axis=1)
+
+    # --- projected-KV fast path -----------------------------------------
+
+    def project_memory(self, memory: jax.Array, slots: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+        """Projects memory source entries to (k, v) once per entry.
+
+        memory: (..., num_blocks, D) raw memory items (zero if unwritten)
+        slots:  (...) int32 absolute episode-slot index per entry
+        Returns (k, v), each (..., num_blocks, D).
+        """
+        pos = self.positional_table()
+        if pos is not None:
+            memory = memory + pos[slots][..., None, :]
+        ks, vs = [], []
+        for i, block in enumerate(self.blocks):
+            k, v = block.project_kv(memory[..., i, :])
+            ks.append(k)
+            vs.append(v)
+        return jnp.stack(ks, axis=-2), jnp.stack(vs, axis=-2)
+
+    def pe_kv(self) -> Tuple[jax.Array, jax.Array]:
+        """Projected K/V of *unwritten* slots (zero content + PE):
+        (max_episode_steps, num_blocks, D) each."""
+        zeros = jnp.zeros(
+            (self.max_episode_steps, self.config.num_blocks,
+             self.config.embed_dim), jnp.float32)
+        slots = jnp.arange(self.max_episode_steps, dtype=jnp.int32)
+        return self.project_memory(zeros, slots)
+
+    def forward_with_kv(self, h: jax.Array, k_win: jax.Array, v_win: jax.Array,
+                        mask: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Block stack on pre-projected K/V windows.
+
+        h: (B, input_dim); k_win/v_win: (B, L, num_blocks, D); mask: (B, L).
+        Returns (h_out (B, D), new_memory (B, num_blocks, D)).
+        """
+        h = self.embed(h)
+        out_memories = []
+        for i, block in enumerate(self.blocks):
+            out_memories.append(jax.lax.stop_gradient(h))
+            h = block.attend_and_project(
+                k_win[:, :, i], v_win[:, :, i], h[:, None, :], mask)[:, 0, :]
+        return h, jnp.stack(out_memories, axis=1)

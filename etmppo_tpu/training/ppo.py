@@ -110,10 +110,35 @@ class PPOUpdateFn:
     # --- internals -------------------------------------------------------
 
     def _loss(self, params, mb, clip_range, beta):
-        cfg = self.config
+        """Reference-semantics loss on a raw memory window (projections inside
+        the model).  Used by tests; the update path uses ``_loss_fast``."""
         logits, value, _ = self.model.apply(
             params, mb["obs"], mb["memory_window"], mb["memory_mask"],
             mb["memory_indices"])
+        return self._loss_from_outputs(logits, value, mb, clip_range, beta)
+
+    def _loss_fast(self, params, mb, src, src_slots, clip_range, beta):
+        """Projected-KV loss: project memory *sources* once, gather projected
+        windows (models/transformer.py docstring).  Mathematically identical
+        to ``_loss`` (projection/LN/PE are per-entry), ~memory_length x fewer
+        projection FLOPs."""
+        model = type(self.model)
+        k_src, v_src = self.model.apply(
+            params, src, src_slots, method=model.project_memory)
+        pe_k, pe_v = self.model.apply(params, method=model.pe_kv)
+        w_idx = mb["w_idx"]
+        flat_idx = mb["flat_index"]
+        valid = mb["valid"][:, :, None, None]
+        slots = mb["memory_indices"]
+        k_win = jnp.where(valid, k_src[w_idx[:, None], flat_idx], pe_k[slots])
+        v_win = jnp.where(valid, v_src[w_idx[:, None], flat_idx], pe_v[slots])
+        logits, value, _ = self.model.apply(
+            params, mb["obs"], k_win, v_win, mb["memory_mask"],
+            method=model.forward_with_kv)
+        return self._loss_from_outputs(logits, value, mb, clip_range, beta)
+
+    def _loss_from_outputs(self, logits, value, mb, clip_range, beta):
+        cfg = self.config
         log_probs, entropies = distributions.log_probs_and_entropies(
             logits, mb["actions"])
 
@@ -155,6 +180,11 @@ class PPOUpdateFn:
         sources = compute_window_sources(
             batch.episode_steps, batch.dones, self.index_table, self.max_ep)
         src = jnp.concatenate([batch.snapshot, batch.tape], axis=1)
+        # Absolute episode-slot of each source entry (snapshot entries sit at
+        # their slot; tape entries were written at that step's episode step).
+        src_slots = jnp.concatenate([
+            jnp.tile(jnp.arange(self.max_ep, dtype=jnp.int32)[None], (W, 1)),
+            batch.episode_steps.astype(jnp.int32)], axis=1)
 
         flat = lambda x: x.reshape((B,) + x.shape[2:])
         flat_batch = dict(
@@ -178,23 +208,22 @@ class PPOUpdateFn:
 
         def minibatch_step(carry, idx):
             params, opt_state = carry
-            w_idx = idx // T
-            window = src[w_idx[:, None], flat_batch["flat_index"][idx]]
-            valid = flat_batch["valid"][idx]
-            window = jnp.where(valid[:, :, None, None], window, 0.0)
             mb = dict(
                 obs=flat_batch["obs"][idx],
                 actions=flat_batch["actions"][idx],
                 log_probs=flat_batch["log_probs"][idx],
                 values=flat_batch["values"][idx],
                 advantages=flat_batch["advantages"][idx],
-                memory_window=window,
+                w_idx=idx // T,
+                flat_index=flat_batch["flat_index"][idx],
+                valid=flat_batch["valid"][idx],
                 memory_mask=self.mask_table[
                     jnp.clip(flat_batch["episode_steps"][idx], 0, L - 1)],
                 memory_indices=flat_batch["slot"][idx])
 
             (loss, stats), grads = jax.value_and_grad(
-                self._loss, has_aux=True)(params, mb, clip_range, beta)
+                self._loss_fast, has_aux=True)(
+                    params, mb, src, src_slots, clip_range, beta)
             grads, _ = clip_grads_torch(grads, cfg.max_grad_norm)
             grad_groups = grad_norm_groups(
                 grads, has_encoder, trx.num_blocks, n_branches)

@@ -88,32 +88,39 @@ class RolloutFn:
 
     # --- internals -------------------------------------------------------
 
-    def _forward(self, params, obs, memory, episode_step):
-        """Window gather + model forward for the current step (all workers)."""
-        L = self.config.transformer.memory_length
-        mask = self.mask_table[jnp.clip(episode_step, 0, L - 1)]     # (W, L)
-        indices = self.index_table[episode_step]                      # (W, L)
-        window = jnp.take_along_axis(
-            memory, indices[:, :, None, None], axis=1)                # (W, L, blocks, D)
-        logits, value, mem_item = self.model.apply(
-            params, obs, window, mask, indices)
-        return logits, value, mem_item
-
-    def _step(self, params, carry, _):
-        state = carry
+    def _step(self, params, pe_kv, carry, _):
+        """One rollout step on the KV-cache fast path: the memory window's
+        K/V are *gathered* from append-only per-worker caches instead of
+        re-projected every step (models/transformer.py docstring); only the
+        new memory item is projected (LLM-decoder style)."""
+        state, k_cache, v_cache = carry
         W = self.config.n_workers
+        L = self.config.transformer.memory_length
+        pe_k, pe_v = pe_kv
         rng, action_rng, step_rng, reset_rng = jax.random.split(state.rng, 4)
 
         e = state.episode_step
-        logits, value, mem_item = self._forward(
-            params, state.obs, state.memory, e)
+        mask = self.mask_table[jnp.clip(e, 0, L - 1)]                # (W, L)
+        indices = self.index_table[e]                                 # (W, L)
+        idx = indices[:, :, None, None]
+        k_win = jnp.take_along_axis(k_cache, idx, axis=1)             # (W, L, b, D)
+        v_win = jnp.take_along_axis(v_cache, idx, axis=1)
+        logits, value, mem_item = self.model.apply(
+            params, state.obs, k_win, v_win, mask,
+            method=type(self.model).forward_with_kv)
         memory = state.memory.at[jnp.arange(W), e].set(mem_item)
+        k_item, v_item = self.model.apply(
+            params, mem_item, e, method=type(self.model).project_memory)
+        k_cache = k_cache.at[jnp.arange(W), e].set(k_item)
+        v_cache = v_cache.at[jnp.arange(W), e].set(v_item)
         actions, log_probs = distributions.sample_multi(action_rng, logits)
 
         env_state, obs_next, reward, done, info = jax.vmap(self.env.step)(
             state.env_state, actions, jax.random.split(step_rng, W))
 
-        # Auto-reset (reference: trainer.py:195-213).
+        # Auto-reset (reference: trainer.py:195-213).  Resetting a worker's KV
+        # caches to the PE-only projections mirrors zeroing its raw memory
+        # (unwritten slots == zero content + positional encoding).
         reset_state, reset_obs = jax.vmap(self.env.reset)(
             jax.random.split(reset_rng, W))
         env_state = jax.tree.map(
@@ -122,7 +129,10 @@ class RolloutFn:
             reset_state, env_state)
         obs_next = jnp.where(
             done.reshape((W,) + (1,) * (obs_next.ndim - 1)), reset_obs, obs_next)
-        memory = jnp.where(done[:, None, None, None], 0.0, memory)
+        done4 = done[:, None, None, None]
+        memory = jnp.where(done4, 0.0, memory)
+        k_cache = jnp.where(done4, pe_k[None], k_cache)
+        v_cache = jnp.where(done4, pe_v[None], v_cache)
         episode_step = jnp.where(done, 0, e + 1)
 
         new_state = RolloutState(env_state, obs_next, episode_step, memory, rng)
@@ -130,7 +140,7 @@ class RolloutFn:
             obs=state.obs, actions=actions, log_probs=log_probs, values=value,
             rewards=reward, dones=done, episode_steps=e, tape=mem_item,
             infos=info)
-        return new_state, outputs
+        return (new_state, k_cache, v_cache), outputs
 
     def _last_value(self, params, state: RolloutState, last_indices):
         """Bootstrap V(s_T) with the reference's shifted window + last-step
@@ -149,10 +159,21 @@ class RolloutFn:
     def _rollout(self, params, state: RolloutState
                  ) -> Tuple[RolloutState, RolloutBatch]:
         cfg = self.config
+        W = cfg.n_workers
         snapshot = state.memory
-        step = functools.partial(self._step, params)
-        final_state, out = jax.lax.scan(
-            step, state, None, length=cfg.worker_steps)
+
+        # Project the carried-in memory into KV caches once per rollout
+        # (params are fixed within a rollout).  Unwritten slots are zero, so
+        # their projections equal the PE-only values automatically.
+        slots = jnp.tile(jnp.arange(self.max_ep, dtype=jnp.int32)[None], (W, 1))
+        k_cache, v_cache = self.model.apply(
+            params, state.memory, slots,
+            method=type(self.model).project_memory)
+        pe_kv = self.model.apply(params, method=type(self.model).pe_kv)
+
+        step = functools.partial(self._step, params, pe_kv)
+        (final_state, _, _), out = jax.lax.scan(
+            step, (state, k_cache, v_cache), None, length=cfg.worker_steps)
 
         # scan stacks along time => (T, W, ...); rollout batch layout is (W, T).
         swap = lambda x: jnp.swapaxes(x, 0, 1)

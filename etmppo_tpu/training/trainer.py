@@ -48,13 +48,23 @@ class PPOTrainer:
         rng, init_rng, state_rng, self._update_rng = jax.random.split(rng, 4)
         self.params = self.model.init_params(init_rng)
 
-        # Jitted rollout + update (+ fused multi-update loop).
-        self.rollout_fn = RolloutFn(config, self.env, self.model)
+        # Jitted rollout + update (+ fused multi-update loop).  Host (Python)
+        # environments use the host rollout driver; fusing updates into one
+        # device program is only possible for pure-JAX envs.
+        from ..envs.host import HostEnvBatch
+        self.is_host_env = isinstance(self.env, HostEnvBatch)
+        if self.is_host_env:
+            from .host_rollout import HostRolloutFn
+            self.rollout_fn = HostRolloutFn(config, self.env, self.model)
+        else:
+            self.rollout_fn = RolloutFn(config, self.env, self.model)
         self.update_fn = PPOUpdateFn(config, self.model, self.max_episode_steps)
         self.opt_state = self.update_fn.init_opt_state(self.params)
         self.rollout_state = self.rollout_fn.init_state(state_rng)
-        from .fused import FusedTrainLoop
-        self.fused_loop = FusedTrainLoop(self.rollout_fn, self.update_fn)
+        self.fused_loop = None
+        if not self.is_host_env:
+            from .fused import FusedTrainLoop
+            self.fused_loop = FusedTrainLoop(self.rollout_fn, self.update_fn)
 
         # Multi-device data parallelism (GSPMD over a ("data",) mesh).
         self.mesh = None
@@ -174,7 +184,7 @@ class PPOTrainer:
         start = time.perf_counter()
         while self.update < cfg.updates:
             remaining = cfg.updates - self.update
-            if cfg.updates_per_launch > 1:
+            if cfg.updates_per_launch > 1 and self.fused_loop is not None:
                 k = min(cfg.updates_per_launch, remaining)
                 if cfg.checkpoint_interval > 0:
                     to_ckpt = cfg.checkpoint_interval - (
@@ -250,3 +260,5 @@ class PPOTrainer:
             self.writer.close()
         if self.checkpointer is not None:
             self.checkpointer.close()
+        if self.is_host_env:
+            self.env.close()
