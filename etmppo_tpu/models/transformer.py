@@ -121,12 +121,18 @@ class GRUGate(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
-        dense = lambda name: nn.Dense(
-            self.dim, use_bias=False, kernel_init=xavier_uniform(), name=name)
-        bg = self.param("bg", nn.initializers.constant(self.bias), (self.dim,))
-        r = jax.nn.sigmoid(dense("Wr")(y) + dense("Ur")(x))
-        z = jax.nn.sigmoid(dense("Wz")(y) + dense("Uz")(x) - bg)
-        h = jnp.tanh(dense("Wg")(y) + dense("Ug")(r * x))
+        D = self.dim
+        kernel = lambda name: self.param(name, xavier_uniform(), (D, D))
+        Wr, Wz, Wg = kernel("Wr"), kernel("Wz"), kernel("Wg")
+        Ur, Uz, Ug = kernel("Ur"), kernel("Uz"), kernel("Ug")
+        bg = self.param("bg", nn.initializers.constant(self.bias), (D,))
+        # Concatenated kernels: 3 matmuls instead of 6 (identical math; the
+        # rollout scan is op-count bound at small model sizes).
+        yW = y @ jnp.concatenate([Wr, Wz, Wg], axis=1)
+        xU = x @ jnp.concatenate([Ur, Uz], axis=1)
+        r = jax.nn.sigmoid(yW[..., :D] + xU[..., :D])
+        z = jax.nn.sigmoid(yW[..., D:2 * D] + xU[..., D:] - bg)
+        h = jnp.tanh(yW[..., 2 * D:] + (r * x) @ Ug)
         return (1.0 - z) * x + z * h
 
 

@@ -21,27 +21,37 @@ from .rollout import RolloutFn, RolloutState
 
 
 class ChunkOutputs(NamedTuple):
-    stats: jax.Array                 # (K, 6)
-    grad_info: Dict[str, jax.Array]  # each (K,)
-    dones: jax.Array                 # (K, W, T)
-    episode_infos: Dict[str, jax.Array]  # each (K, W, T)
-    value_mean: jax.Array            # (K,)
-    advantage_mean: jax.Array        # (K,)
+    """Per-update outputs of a fused chunk, PACKED into two arrays so a chunk
+    costs two device->host transfers instead of ~16 (each transfer is a full
+    round trip; over remote-dispatch TPU tunnels that latency dominated).
+
+    scalars[k] = [stats(6) | grad norms (sorted keys) | value_mean | adv_mean]
+    per_step[k] = [dones | episode info values (sorted keys)] as (1+I, W, T)
+    """
+    scalars: jax.Array   # (K, 6 + G + 2)
+    per_step: jax.Array  # (K, 1 + I, W, T)
+    grad_keys: Tuple[str, ...]
+    info_keys: Tuple[str, ...]
 
 
 class FusedTrainLoop:
     def __init__(self, rollout_fn: RolloutFn, update_fn: PPOUpdateFn):
         self.rollout_fn = rollout_fn
         self.update_fn = update_fn
+        self._grad_keys: Tuple[str, ...] = ()
+        self._info_keys: Tuple[str, ...] = ()
         self._jitted = jax.jit(self._run_chunk, donate_argnums=(0, 1, 2, 3))
 
     def __call__(self, params, opt_state, rollout_state: RolloutState, rng,
                  lrs, clip_ranges, betas):
         """lrs/clip_ranges/betas: (K,) float32 per-update schedule values."""
-        return self._jitted(params, opt_state, rollout_state, rng,
-                            jnp.asarray(lrs, jnp.float32),
-                            jnp.asarray(clip_ranges, jnp.float32),
-                            jnp.asarray(betas, jnp.float32))
+        params, opt_state, rollout_state, rng, (scalars, per_step) = \
+            self._jitted(params, opt_state, rollout_state, rng,
+                         jnp.asarray(lrs, jnp.float32),
+                         jnp.asarray(clip_ranges, jnp.float32),
+                         jnp.asarray(betas, jnp.float32))
+        outs = ChunkOutputs(scalars, per_step, self._grad_keys, self._info_keys)
+        return params, opt_state, rollout_state, rng, outs
 
     def _run_chunk(self, params, opt_state, rollout_state, rng,
                    lrs, clip_ranges, betas):
@@ -52,14 +62,21 @@ class FusedTrainLoop:
             rng, update_rng = jax.random.split(rng)
             params, opt_state, stats, grad_info = self.update_fn._update(
                 params, opt_state, batch, update_rng, lr, clip_range, beta)
-            out = ChunkOutputs(
-                stats=stats, grad_info=grad_info, dones=batch.dones,
-                episode_infos=batch.episode_infos,
-                value_mean=batch.values.mean(),
-                advantage_mean=batch.advantages.mean())
-            return (params, opt_state, rstate, rng), out
+            # Key orders are static; recorded at trace time for unpacking.
+            self._grad_keys = tuple(sorted(grad_info))
+            self._info_keys = tuple(sorted(batch.episode_infos))
+            scalars = jnp.concatenate([
+                stats,
+                jnp.stack([grad_info[k] for k in self._grad_keys]),
+                batch.values.mean()[None],
+                batch.advantages.mean()[None]])
+            per_step = jnp.stack(
+                [batch.dones.astype(jnp.float32)]
+                + [batch.episode_infos[k] for k in self._info_keys])
+            return (params, opt_state, rstate, rng), (scalars, per_step)
 
-        (params, opt_state, rollout_state, rng), outs = jax.lax.scan(
-            body, (params, opt_state, rollout_state, rng),
-            (lrs, clip_ranges, betas))
-        return params, opt_state, rollout_state, rng, outs
+        (params, opt_state, rollout_state, rng), (scalars, per_step) = \
+            jax.lax.scan(
+                body, (params, opt_state, rollout_state, rng),
+                (lrs, clip_ranges, betas))
+        return params, opt_state, rollout_state, rng, (scalars, per_step)

@@ -146,18 +146,22 @@ class PPOTrainer:
          outs) = self.fused_loop(self.params, self.opt_state,
                                  self.rollout_state, self._update_rng,
                                  lrs, clips, betas)
-        stats = np.asarray(outs.stats)                  # (k, 6)
-        grad_info = {key: np.asarray(v) for key, v in outs.grad_info.items()}
-        dones = np.asarray(outs.dones)                  # (k, W, T)
-        infos = {key: np.asarray(v) for key, v in outs.episode_infos.items()}
-        value_means = np.asarray(outs.value_mean)
-        adv_means = np.asarray(outs.advantage_mean)
+        # Two transfers per chunk (see ChunkOutputs docstring).
+        scalars = np.asarray(outs.scalars)              # (k, 6 + G + 2)
+        per_step = np.asarray(outs.per_step)            # (k, 1 + I, W, T)
+        n_stats = len(STAT_NAMES)
+        G = len(outs.grad_keys)
         results = []
         for i in range(k):
+            grad_info = {key: scalars[i, n_stats + j]
+                         for j, key in enumerate(outs.grad_keys)}
+            dones = per_step[i, 0].astype(bool)
+            infos = {key: per_step[i, 1 + j]
+                     for j, key in enumerate(outs.info_keys)}
             results.append(self._record_update(
-                stats[i], {key: v[i] for key, v in grad_info.items()},
-                dones[i], {key: v[i] for key, v in infos.items()},
-                float(value_means[i]), float(adv_means[i])))
+                scalars[i, :n_stats], grad_info, dones, infos,
+                float(scalars[i, n_stats + G]),
+                float(scalars[i, n_stats + G + 1])))
         return results
 
     def train_one_update(self) -> Dict[str, float]:

@@ -45,7 +45,7 @@ def _oracle_params(params, cfg: TransformerConfig):
         for gate in ("gate1", "gate2"):
             if gate in b:
                 bp[gate] = {
-                    k: np.asarray(b[gate][k]["kernel"])
+                    k: np.asarray(b[gate][k])
                     for k in ("Wr", "Ur", "Wz", "Uz", "Wg", "Ug")}
                 bp[gate]["bg"] = np.asarray(b[gate]["bg"])
         out[f"block_{i}"] = bp
