@@ -53,13 +53,21 @@ class WindowSources(NamedTuple):
     For each flattened sample ``(w, t)`` and window position ``j``:
 
     * ``flat_index[w, t, j]`` — index into the per-worker combined source array
-      ``concat([snapshot[w], tape[w]], axis=0)`` of length ``max_ep + T``.
-    * ``valid[w, t, j]`` — whether the slot holds real memory content.  Invalid
-      slots correspond to never-written episode slots; the reference stores
-      zeros there (and still adds positional encoding before projection,
-      transformer.py:236-243), so consumers must substitute zero content.
+      ``concat([snapshot[w], tape[w], pe_region], axis=0)`` of length
+      ``max_ep + T + max_ep``.  The trailing *PE region* holds zero content at
+      slot ``s`` (so after positional-encoding addition it is PE-only):
+      never-written episode slots resolve there, reproducing the reference's
+      zeros-plus-PE contents (transformer.py:236-243) with a plain gather —
+      no per-slot validity select needed.
+    * ``valid[w, t, j]`` — True where the slot holds real memory content
+      (kept for tests/diagnostics; the gather itself no longer needs it).
     * ``slot[w, t, j]`` — the absolute episode-slot index (for positional
       encoding selection), identical to the reference's ``memory_indices``.
+
+    Because window slots are ascending and consecutive, ``flat_index`` rows
+    always consist of at most THREE contiguous ascending runs (snapshot run,
+    tape run, PE run) — the property the Pallas fused window-attention kernel
+    exploits for bulk DMA.
     """
     flat_index: jax.Array  # (W, T, L) int32
     valid: jax.Array       # (W, T, L) bool
@@ -104,5 +112,6 @@ def compute_window_sources(
     from_snapshot = t_s < 0
     valid = from_snapshot | (t_s <= next_end)
     flat_index = jnp.where(from_snapshot, slot, max_episode_steps + t_s)
-    flat_index = jnp.clip(flat_index, 0, max_episode_steps + T - 1)
+    # Invalid (never-written) slots -> the PE region at their episode slot.
+    flat_index = jnp.where(valid, flat_index, max_episode_steps + T + slot)
     return WindowSources(flat_index.astype(jnp.int32), valid, slot.astype(jnp.int32))

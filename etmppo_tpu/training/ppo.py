@@ -125,13 +125,10 @@ class PPOUpdateFn:
         model = type(self.model)
         k_src, v_src = self.model.apply(
             params, src, src_slots, method=model.project_memory)
-        pe_k, pe_v = self.model.apply(params, method=model.pe_kv)
         w_idx = mb["w_idx"]
         flat_idx = mb["flat_index"]
-        valid = mb["valid"][:, :, None, None]
-        slots = mb["memory_indices"]
-        k_win = jnp.where(valid, k_src[w_idx[:, None], flat_idx], pe_k[slots])
-        v_win = jnp.where(valid, v_src[w_idx[:, None], flat_idx], pe_v[slots])
+        k_win = k_src[w_idx[:, None], flat_idx]
+        v_win = v_src[w_idx[:, None], flat_idx]
         logits, value, _ = self.model.apply(
             params, mb["obs"], k_win, v_win, mb["memory_mask"],
             method=model.forward_with_kv)
@@ -176,15 +173,21 @@ class PPOUpdateFn:
         B = W * T
         L = trx.memory_length
 
-        # Training-time memory-window sources from rollout metadata.
+        # Training-time memory-window sources from rollout metadata.  The
+        # trailing zero region resolves never-written slots to PE-only content
+        # after projection (see WindowSources docstring).
         sources = compute_window_sources(
             batch.episode_steps, batch.dones, self.index_table, self.max_ep)
-        src = jnp.concatenate([batch.snapshot, batch.tape], axis=1)
+        src = jnp.concatenate([
+            batch.snapshot, batch.tape,
+            jnp.zeros_like(batch.snapshot)], axis=1)
         # Absolute episode-slot of each source entry (snapshot entries sit at
         # their slot; tape entries were written at that step's episode step).
+        slot_range = jnp.tile(
+            jnp.arange(self.max_ep, dtype=jnp.int32)[None], (W, 1))
         src_slots = jnp.concatenate([
-            jnp.tile(jnp.arange(self.max_ep, dtype=jnp.int32)[None], (W, 1)),
-            batch.episode_steps.astype(jnp.int32)], axis=1)
+            slot_range, batch.episode_steps.astype(jnp.int32), slot_range],
+            axis=1)
 
         flat = lambda x: x.reshape((B,) + x.shape[2:])
         flat_batch = dict(

@@ -98,10 +98,11 @@ def test_fast_loss_matches_naive_loss():
     max_ep = env.max_episode_steps
     sources = compute_window_sources(
         batch.episode_steps, batch.dones, update_fn.index_table, max_ep)
-    src = jnp.concatenate([batch.snapshot, batch.tape], axis=1)
+    src = jnp.concatenate([batch.snapshot, batch.tape,
+                           jnp.zeros_like(batch.snapshot)], axis=1)
+    slot_range = jnp.tile(jnp.arange(max_ep, dtype=jnp.int32)[None], (W, 1))
     src_slots = jnp.concatenate([
-        jnp.tile(jnp.arange(max_ep, dtype=jnp.int32)[None], (W, 1)),
-        batch.episode_steps.astype(jnp.int32)], axis=1)
+        slot_range, batch.episode_steps.astype(jnp.int32), slot_range], axis=1)
 
     flat = lambda x: x.reshape((B,) + x.shape[2:])
     idx = jnp.arange(0, B, 3)
@@ -113,10 +114,9 @@ def test_fast_loss_matches_naive_loss():
         advantages=flat(batch.advantages)[idx], memory_mask=mask,
         memory_indices=flat(sources.slot)[idx])
 
-    # naive: gather raw windows, zero invalid slots
+    # naive: gather raw windows (the zero PE region supplies invalid slots)
     window = src[(idx // T)[:, None], flat(sources.flat_index)[idx]]
     valid = flat(sources.valid)[idx]
-    window = jnp.where(valid[:, :, None, None], window, 0.0)
     naive_mb = dict(common, memory_window=window)
     loss1, stats1 = update_fn._loss(params, naive_mb, 0.2, 0.001)
 

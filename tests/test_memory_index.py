@@ -64,13 +64,15 @@ def test_window_sources_future_slots_invalid_after_done():
     dones = jnp.asarray([[0, 0, 1, 0, 0, 0]], bool)
     src = compute_window_sources(e, dones, table, max_ep)
     # sample t=0 (e=0): window [0,1,2,3] -> tape [0,1,2,3]; but episode's last
-    # write is at t=2, so slot 3 (tape step 3) is beyond the episode -> invalid
+    # write is at t=2, so slot 3 (tape step 3) is beyond the episode -> PE
     np.testing.assert_array_equal(
         np.asarray(src.valid[0, 0]), [True, True, True, False])
+    assert int(src.flat_index[0, 0, 3]) == max_ep + T + 3
     # sample t=3 (e=0, new episode): window [0,1,2,3] -> tape [3,4,5,6];
-    # tape step 6 is beyond the rollout -> invalid
+    # tape step 6 is beyond the rollout -> PE region at slot 3
     np.testing.assert_array_equal(
         np.asarray(src.flat_index[0, 3])[:3], max_ep + np.array([3, 4, 5]))
+    assert int(src.flat_index[0, 3, 3]) == max_ep + T + 3
     np.testing.assert_array_equal(
         np.asarray(src.valid[0, 3]), [True, True, True, False])
 
@@ -104,14 +106,14 @@ def test_window_sources_against_reference_simulation(rng):
     table = jnp.asarray(build_memory_indices(max_ep, L))
     src = compute_window_sources(
         jnp.asarray(e, jnp.int32), jnp.asarray(dones), table, max_ep)
-    combined = np.concatenate([snapshot, tape], axis=1)  # (W, max_ep+T, b, D)
+    # PE region holds zero content -> a plain gather reproduces the
+    # reference's zeros at never-written slots.
+    combined = np.concatenate([snapshot, tape, np.zeros_like(snapshot)], axis=1)
 
     flat_index = np.asarray(src.flat_index)
-    valid = np.asarray(src.valid)
     for w in range(W):
         for t in range(T):
             window = combined[w, flat_index[w, t]]
-            window = np.where(valid[w, t][:, None, None], window, 0.0)
             expected = sim.window(w, t, e)
             np.testing.assert_allclose(
                 window, expected, rtol=0, atol=0,

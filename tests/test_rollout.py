@@ -97,14 +97,13 @@ def test_training_windows_match_reference_simulation(setup):
     table = jnp.asarray(build_memory_indices(max_ep, trx.memory_length))
     src = compute_window_sources(batch.episode_steps, batch.dones, table,
                                  max_ep)
-    combined = np.concatenate([snapshot, tape], axis=1)
+    combined = np.concatenate([snapshot, tape, np.zeros_like(snapshot)],
+                              axis=1)
     flat_index = np.asarray(src.flat_index)
-    valid = np.asarray(src.valid)
 
     for w in range(W):
         for t in range(T):
             window = combined[w, flat_index[w, t]]
-            window = np.where(valid[w, t][:, None, None], window, 0.0)
             np.testing.assert_allclose(
                 window, sim.window(w, t, e), atol=0,
                 err_msg=f"w={w} t={t} e={e[w, t]}")
