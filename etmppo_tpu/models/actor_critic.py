@@ -125,6 +125,13 @@ class ActorCriticModel(nn.Module):
         branch_logits, value = self.heads(h)
         return branch_logits, value, new_memory.astype(jnp.float32)
 
+    def forward_with_ops(self, obs: jax.Array, ops):
+        """Pallas fused window-attention path (ops: per-block attention)."""
+        h = self.encode(obs)
+        h, new_memory = self.transformer.forward_with_ops(h, ops)
+        branch_logits, value = self.heads(h)
+        return branch_logits, value, new_memory.astype(jnp.float32)
+
     def project_memory(self, memory: jax.Array, slots: jax.Array):
         return self.transformer.project_memory(memory, slots)
 

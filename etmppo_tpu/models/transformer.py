@@ -88,6 +88,15 @@ class MultiHeadAttention(nn.Module):
                    ) -> Tuple[jax.Array, jax.Array]:
         return self.keys(keys), self.values(values)
 
+    def attend_with_op(self, queries: jax.Array, op) -> jax.Array:
+        """Attention where the QK/softmax/PV contraction is delegated to
+        ``op`` (e.g. the Pallas fused window-attention kernel).  ``op`` maps
+        projected queries (B, D) -> attention output (B, D); masking happens
+        inside the op."""
+        q = self.queries(queries)           # (B, Q=1, D)
+        out = op(q[:, 0, :])[:, None, :]
+        return self.fc_out(out)
+
     def attend(self, k: jax.Array, v: jax.Array, queries: jax.Array,
                mask: Optional[jax.Array]) -> jax.Array:
         """k/v: (B, L, D) pre-projected; queries: (B, Q, D) unprojected."""
@@ -163,6 +172,14 @@ class TransformerBlock(nn.Module):
             memory = self.norm_kv(memory)
         return self.attention.project_kv(memory, memory)
 
+    def attend_with_op_and_project(self, op, query: jax.Array) -> jax.Array:
+        """Block forward where the attention contraction is delegated to
+        ``op`` (Pallas kernel path); mask lives inside the op."""
+        cfg = self.config
+        query_ = self.norm1(query) if cfg.layer_norm == "pre" else query
+        attention = self.attention.attend_with_op(query_, op)
+        return self._post_attention(attention, query)
+
     def attend_and_project(self, k: jax.Array, v: jax.Array, query: jax.Array,
                            mask: Optional[jax.Array]) -> jax.Array:
         """Block forward given pre-projected K/V (query: (B, Q, D))."""
@@ -170,7 +187,12 @@ class TransformerBlock(nn.Module):
         ln = cfg.layer_norm
         query_ = self.norm1(query) if ln == "pre" else query
         attention = self.attention.attend(k, v, query_, mask)
+        return self._post_attention(attention, query)
 
+    def _post_attention(self, attention: jax.Array, query: jax.Array
+                        ) -> jax.Array:
+        cfg = self.config
+        ln = cfg.layer_norm
         if cfg.gtrxl:
             h = self.gate1(query, attention)
         else:
@@ -293,4 +315,15 @@ class Transformer(nn.Module):
             out_memories.append(jax.lax.stop_gradient(h))
             h = block.attend_and_project(
                 k_win[:, :, i], v_win[:, :, i], h[:, None, :], mask)[:, 0, :]
+        return h, jnp.stack(out_memories, axis=1)
+
+    def forward_with_ops(self, h: jax.Array, ops) -> Tuple[jax.Array, jax.Array]:
+        """Block stack where each block's attention contraction is delegated
+        to ``ops[i]`` (projected q (B, D) -> attention out (B, D)); used by
+        the Pallas fused window-attention path."""
+        h = self.embed(h)
+        out_memories = []
+        for i, block in enumerate(self.blocks):
+            out_memories.append(jax.lax.stop_gradient(h))
+            h = block.attend_with_op_and_project(ops[i], h[:, None, :])[:, 0, :]
         return h, jnp.stack(out_memories, axis=1)

@@ -115,3 +115,88 @@ def compute_window_sources(
     # Invalid (never-written) slots -> the PE region at their episode slot.
     flat_index = jnp.where(valid, flat_index, max_episode_steps + T + slot)
     return WindowSources(flat_index.astype(jnp.int32), valid, slot.astype(jnp.int32))
+
+
+class TimelineSources(NamedTuple):
+    """Contiguous-run window addressing over the per-worker memory *timeline*.
+
+    ``timeline[w] = [snapshot[w, :e0] rows at their slot | tape[w] rows]`` —
+    i.e. all memory writes of worker w in chronological order (the carried
+    episode's pre-rollout slots land at rows ``0..e0-1``, tape step t at row
+    ``e0 + t``).  For any sample (w, t) at episode step e with window slots
+    ``s in [s_lo, s_lo+L)``, the VALID slots map to timeline rows
+    ``base + s`` with ``base = e0[w] + t - e`` — one contiguous ascending run
+    of ``n_valid`` rows starting at ``start = base + s_lo`` — and the invalid
+    suffix maps to the PE table rows ``s_lo + n_valid .. s_lo + L - 1``, also
+    contiguous.  This 2-contiguous-segment property is what the Pallas fused
+    window-attention kernel exploits: 2 bulk DMAs per sample instead of an
+    L-row gather.
+    """
+    start: jax.Array    # (W, T) int32 — first timeline row of the window
+    n_valid: jax.Array  # (W, T) int32 — number of valid (timeline) slots
+    s_lo: jax.Array     # (W, T) int32 — first absolute window slot (PE offset)
+
+
+def compute_timeline_sources(
+    episode_steps: jax.Array,   # (W, T) int32
+    dones: jax.Array,           # (W, T) bool
+    index_table: jax.Array,     # (max_ep, L) int32
+    memory_length: int,
+) -> TimelineSources:
+    W, T = episode_steps.shape
+    L = memory_length
+    e = episode_steps
+    e0 = e[:, :1]                                          # (W, 1)
+    t = jnp.arange(T, dtype=jnp.int32)[None, :]
+    s_lo = index_table[e][:, :, 0]                          # (W, T)
+    base = e0 + t - e
+    start = base + s_lo
+
+    done_step = jnp.where(dones, jnp.arange(T, dtype=jnp.int32)[None, :], T - 1)
+    next_end = jnp.flip(
+        jax.lax.cummin(jnp.flip(done_step, axis=1), axis=1), axis=1)
+    # valid slots: s <= e + (next_end - t); window covers [s_lo, s_lo + L - 1]
+    s_valid_hi = jnp.minimum(s_lo + L - 1, e + (next_end - t))
+    n_valid = jnp.clip(s_valid_hi - s_lo + 1, 1, L)
+    return TimelineSources(start.astype(jnp.int32), n_valid.astype(jnp.int32),
+                           s_lo.astype(jnp.int32))
+
+
+def build_timeline_slots(episode_steps: jax.Array, max_episode_steps: int,
+                         pad: int) -> jax.Array:
+    """(W, max_ep + T + pad) int32 absolute episode-slot of each timeline row
+    (snapshot rows sit at their slot; tape rows at the episode step they were
+    written; padding rows are 0 — never selected)."""
+    W, T = episode_steps.shape
+    S = max_episode_steps + T + pad
+    rows = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None, :], (W, S))
+    e0 = episode_steps[:, :1].astype(jnp.int32)
+    tape_idx = jnp.clip(rows - e0, 0, T - 1)
+    tape_slot = jnp.take_along_axis(
+        episode_steps.astype(jnp.int32), tape_idx, axis=1)
+    return jnp.where(rows < e0, rows, tape_slot)
+
+
+def build_timeline(snapshot: jax.Array, tape: jax.Array, e0: jax.Array,
+                   pad: int) -> jax.Array:
+    """(W, max_ep + T + pad, ...) chronological memory timeline: row i holds
+    ``snapshot[w, i]`` for i < e0[w], else ``tape[w, i - e0[w]]`` (zeros past
+    the written range; ``pad`` extra rows let fixed-length window reads run
+    off the end safely)."""
+    W, max_ep = snapshot.shape[:2]
+    T = tape.shape[1]
+    S = max_ep + T + pad
+    rows = jnp.arange(S, dtype=jnp.int32)[None, :]          # (1, S)
+    e0 = e0.astype(jnp.int32)[:, None]                      # (W, 1)
+    from_snap = rows < e0
+    snap_idx = jnp.clip(rows, 0, max_ep - 1)
+    tape_idx = jnp.clip(rows - e0, 0, T - 1)
+    extra = (1,) * (snapshot.ndim - 2)
+    take = lambda src, idx, cap: jnp.where(
+        (from_snap if src is snapshot else ~from_snap & (rows - e0 < T)
+         ).reshape((W, S) + extra),
+        jnp.take_along_axis(
+            src, idx.reshape((W, S) + extra).astype(jnp.int32), axis=1),
+        0.0)
+    return take(snapshot, jnp.broadcast_to(snap_idx, (W, S)), max_ep) + \
+        take(tape, jnp.broadcast_to(tape_idx, (W, S)), T)

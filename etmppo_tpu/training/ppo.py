@@ -134,6 +134,32 @@ class PPOUpdateFn:
             method=model.forward_with_kv)
         return self._loss_from_outputs(logits, value, mb, clip_range, beta)
 
+    def _loss_pallas(self, params, mb, timeline, timeline_slots, clip_range,
+                     beta):
+        """Pallas fused window-attention loss: project the memory timeline
+        once, then each block's attention streams contiguous K/V runs from
+        HBM inside the kernel (ops/pallas_window_attention.py) — gathered
+        windows are never materialized."""
+        from ..ops.pallas_window_attention import fused_window_attention
+        model = type(self.model)
+        trx = self.config.transformer
+        tk, tv = self.model.apply(
+            params, timeline, timeline_slots, method=model.project_memory)
+        pe_k, pe_v = self.model.apply(params, method=model.pe_kv)
+
+        def make_op(i):
+            def op(q):
+                return fused_window_attention(
+                    q, tk[:, :, i], tv[:, :, i], pe_k[:, i], pe_v[:, i],
+                    mb["w_idx"], mb["tl_start"], mb["tl_n_valid"],
+                    mb["tl_s_lo"], mb["memory_mask"], trx.num_heads)
+            return op
+
+        ops = [make_op(i) for i in range(trx.num_blocks)]
+        logits, value, _ = self.model.apply(
+            params, mb["obs"], ops, method=model.forward_with_ops)
+        return self._loss_from_outputs(logits, value, mb, clip_range, beta)
+
     def _loss_from_outputs(self, logits, value, mb, clip_range, beta):
         cfg = self.config
         log_probs, entropies = distributions.log_probs_and_entropies(
@@ -189,6 +215,18 @@ class PPOUpdateFn:
             slot_range, batch.episode_steps.astype(jnp.int32), slot_range],
             axis=1)
 
+        use_pallas = cfg.use_pallas_attention
+        if use_pallas:
+            from ..ops.memory_index import (build_timeline,
+                                            build_timeline_slots,
+                                            compute_timeline_sources)
+            timeline = build_timeline(
+                batch.snapshot, batch.tape, batch.episode_steps[:, 0], pad=L)
+            timeline_slots = build_timeline_slots(
+                batch.episode_steps, self.max_ep, pad=L)
+            tl = compute_timeline_sources(
+                batch.episode_steps, batch.dones, self.index_table, L)
+
         flat = lambda x: x.reshape((B,) + x.shape[2:])
         flat_batch = dict(
             obs=flat(batch.obs), actions=flat(batch.actions),
@@ -197,6 +235,10 @@ class PPOUpdateFn:
             episode_steps=flat(batch.episode_steps),
             flat_index=flat(sources.flat_index), valid=flat(sources.valid),
             slot=flat(sources.slot))
+        if use_pallas:
+            flat_batch.update(
+                tl_start=flat(tl.start), tl_n_valid=flat(tl.n_valid),
+                tl_s_lo=flat(tl.s_lo))
 
         # Shuffled minibatch schedule: one permutation per epoch
         # (reference: buffer.py:79-85).
@@ -224,9 +266,17 @@ class PPOUpdateFn:
                     jnp.clip(flat_batch["episode_steps"][idx], 0, L - 1)],
                 memory_indices=flat_batch["slot"][idx])
 
-            (loss, stats), grads = jax.value_and_grad(
-                self._loss_fast, has_aux=True)(
-                    params, mb, src, src_slots, clip_range, beta)
+            if use_pallas:
+                mb.update(tl_start=flat_batch["tl_start"][idx],
+                          tl_n_valid=flat_batch["tl_n_valid"][idx],
+                          tl_s_lo=flat_batch["tl_s_lo"][idx])
+                (loss, stats), grads = jax.value_and_grad(
+                    self._loss_pallas, has_aux=True)(
+                        params, mb, timeline, timeline_slots, clip_range, beta)
+            else:
+                (loss, stats), grads = jax.value_and_grad(
+                    self._loss_fast, has_aux=True)(
+                        params, mb, src, src_slots, clip_range, beta)
             grads, _ = clip_grads_torch(grads, cfg.max_grad_norm)
             grad_groups = grad_norm_groups(
                 grads, has_encoder, trx.num_blocks, n_branches)

@@ -118,3 +118,55 @@ def test_window_sources_against_reference_simulation(rng):
             np.testing.assert_allclose(
                 window, expected, rtol=0, atol=0,
                 err_msg=f"worker {w} step {t} (e={e[w, t]}, done={dones[w, t]})")
+
+
+def test_timeline_sources_match_flat_index_windows():
+    """Timeline (contiguous-run) addressing must reconstruct the same windows
+    as the general flat-index gather, on random episode traces."""
+    import jax
+    from etmppo_tpu.ops.memory_index import (build_timeline,
+                                             compute_timeline_sources)
+    np_rng = np.random.default_rng(5)
+    W, T, max_ep, L, blocks, D = 3, 30, 12, 5, 2, 4
+
+    e = np.zeros((W, T), np.int64)
+    dones = np.zeros((W, T), bool)
+    cur = np_rng.integers(0, max_ep - 1, W)
+    for t in range(T):
+        for w in range(W):
+            e[w, t] = cur[w]
+            done = (np_rng.random() < 0.25) or (cur[w] >= max_ep - 1)
+            dones[w, t] = done
+            cur[w] = 0 if done else cur[w] + 1
+
+    tape = np_rng.normal(size=(W, T, blocks, D)).astype(np.float32)
+    snapshot = np.zeros((W, max_ep, blocks, D), np.float32)
+    for w in range(W):
+        snapshot[w, :e[w, 0]] = np_rng.normal(size=(e[w, 0], blocks, D))
+    pe_region = np.zeros((W, max_ep, blocks, D), np.float32)
+
+    table = jnp.asarray(build_memory_indices(max_ep, L))
+    ej = jnp.asarray(e, jnp.int32)
+    dj = jnp.asarray(dones)
+    flat_src = compute_window_sources(ej, dj, table, max_ep)
+    combined = np.concatenate([snapshot, tape, pe_region], axis=1)
+    flat_index = np.asarray(flat_src.flat_index)
+
+    tl_src = compute_timeline_sources(ej, dj, table, L)
+    timeline = np.asarray(build_timeline(
+        jnp.asarray(snapshot), jnp.asarray(tape), ej[:, 0], pad=L))
+    assert timeline.shape[1] == max_ep + T + L
+    start = np.asarray(tl_src.start)
+    n_valid = np.asarray(tl_src.n_valid)
+    s_lo = np.asarray(tl_src.s_lo)
+
+    for w in range(W):
+        for t in range(T):
+            expected = combined[w, flat_index[w, t]]
+            run = timeline[w, start[w, t]:start[w, t] + L]
+            n = n_valid[w, t]
+            window = np.where(
+                (np.arange(L) < n)[:, None, None], run, 0.0)
+            np.testing.assert_allclose(
+                window, expected, atol=0,
+                err_msg=f"w={w} t={t} e={e[w, t]} n={n} start={start[w, t]}")
