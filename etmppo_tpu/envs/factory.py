@@ -12,9 +12,14 @@ from .core import JaxEnv
 from .cartpole import CartPole
 from .poc_memory import PocMemoryEnv
 
+# memory-gym env families: the "-Grid" types default to the pure-JAX
+# reimplementations (envs/mortar_mayhem.py, envs/mystery_path.py); append
+# "-host" (or use a non-Grid type) to run the original Python packages
+# through the host bridge.
 HOST_ENV_TYPES = (
-    "SearingSpotlights", "MortarMayhem", "MortarMayhem-Grid", "MysteryPath",
-    "MysteryPath-Grid",
+    "SearingSpotlights", "MortarMayhem", "MysteryPath",
+    "MortarMayhem-Grid-host", "MysteryPath-Grid-host",
+    "SearingSpotlights-host",
 )
 
 
@@ -29,7 +34,18 @@ def create_env(config: EnvConfig) -> JaxEnv:
     if config.type == "Minigrid":
         from .minigrid_memory import MinigridMemoryEnv
         return MinigridMemoryEnv(config.name)
+    if config.type == "MortarMayhem-Grid":
+        from .mortar_mayhem import MortarMayhemGridEnv
+        return MortarMayhemGridEnv(config.reset_params)
+    if config.type == "MysteryPath-Grid":
+        from .mystery_path import MysteryPathGridEnv
+        return MysteryPathGridEnv(config.reset_params)
     if config.type in HOST_ENV_TYPES:
         from .host import HostEnvBatch
-        return HostEnvBatch(config)
+        import dataclasses
+        host_config = config
+        if config.type.endswith("-host"):
+            host_config = dataclasses.replace(
+                config, type=config.type[: -len("-host")])
+        return HostEnvBatch(host_config)
     raise ValueError(f"Unknown environment type: {config.type!r}")

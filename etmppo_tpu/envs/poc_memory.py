@@ -77,6 +77,24 @@ class PocMemoryEnv(JaxEnv):
             length=jnp.int32(0))
         return state, self._obs(state, show_goals=True)
 
+    def render_ascii(self, state: PocMemoryState) -> str:
+        """Console render in the spirit of the reference's reprint view
+        (poc_memory_env.py:148-180): the 1-D track with agent and goals."""
+        s = jax.device_get(state)
+        n = self.goal_ticks
+        cells = []
+        for tick in range(-n, n + 1):
+            if int(s.ticks) == tick:
+                cells.append("a")
+            elif tick == -n:
+                cells.append("+" if float(s.goals[0]) > 0 else "-")
+            elif tick == n:
+                cells.append("+" if float(s.goals[1]) > 0 else "-")
+            else:
+                cells.append(" ")
+        shown = int(s.step_count) < self.num_show_steps
+        return ("|" + "|".join(cells) + "|  goals shown: " + str(shown))
+
     def step(self, state: PocMemoryState, action: jax.Array, key: jax.Array):
         del key  # deterministic dynamics
         a = action[0]

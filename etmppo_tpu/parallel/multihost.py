@@ -1,0 +1,30 @@
+"""Multi-host (DCN) initialization for TPU pod slices.
+
+The reference has no distributed story at all (SURVEY.md §2: the only
+parallelism is env worker processes).  Here multi-host training is the same
+SPMD program as single-host: call ``initialize_multihost()`` before building
+the trainer, size the mesh to ``jax.device_count()`` (global), and keep
+``n_workers`` divisible by the global device count — each host feeds the
+worker shard that lives on its local devices; gradients and global statistics
+ride XLA collectives (ICI within a slice, DCN across hosts).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+
+def initialize_multihost(coordinator_address: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Wraps ``jax.distributed.initialize``; on Cloud TPU the arguments are
+    auto-detected from the environment and may be omitted."""
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id)
+
+
+def is_primary_host() -> bool:
+    return jax.process_index() == 0
