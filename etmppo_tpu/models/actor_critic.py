@@ -54,27 +54,30 @@ class ActorCriticModel(nn.Module):
         self.is_visual = len(self.obs_shape) > 1
         if self.is_visual:
             H, W, C = self.obs_shape
+            dt = jnp.dtype(cfg.compute_dtype)
             conv = lambda feat, kern, stride, fan_in, name: nn.Conv(
                 feat, (kern, kern), strides=(stride, stride), padding="VALID",
                 kernel_init=orthogonal(np.sqrt(2)),
-                bias_init=torch_linear_bias(fan_in), name=name)
+                bias_init=torch_linear_bias(fan_in), dtype=dt, name=name)
             self.conv1 = conv(32, 8, 4, 8 * 8 * C, "conv1")
             self.conv2 = conv(64, 4, 2, 4 * 4 * 32, "conv2")
             self.conv3 = conv(64, 3, 1, 3 * 3 * 64, "conv3")
             feat_in = _conv_out_hw(H) * _conv_out_hw(W) * 64
         else:
             feat_in = self.obs_shape[0]
+        dt = jnp.dtype(cfg.compute_dtype)
         self.lin_hidden = nn.Dense(
             D, kernel_init=orthogonal(np.sqrt(2)),
-            bias_init=torch_linear_bias(feat_in), name="lin_hidden")
+            bias_init=torch_linear_bias(feat_in), dtype=dt, name="lin_hidden")
         self.transformer = Transformer(
-            cfg.transformer, self.max_episode_steps, name="transformer")
+            cfg.transformer, self.max_episode_steps, dtype=dt,
+            name="transformer")
         self.lin_policy = nn.Dense(
             cfg.hidden_layer_size, kernel_init=orthogonal(np.sqrt(2)),
-            bias_init=torch_linear_bias(D), name="lin_policy")
+            bias_init=torch_linear_bias(D), dtype=dt, name="lin_policy")
         self.lin_value = nn.Dense(
             cfg.hidden_layer_size, kernel_init=orthogonal(np.sqrt(2)),
-            bias_init=torch_linear_bias(D), name="lin_value")
+            bias_init=torch_linear_bias(D), dtype=dt, name="lin_value")
         self.value = nn.Dense(
             1, kernel_init=orthogonal(1.0),
             bias_init=torch_linear_bias(cfg.hidden_layer_size), name="value")

@@ -72,17 +72,17 @@ class MultiHeadAttention(nn.Module):
     can be precomputed per memory-source entry (see module docstring)."""
     embed_dim: int
     num_heads: int
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         D = self.embed_dim
-        self.values = nn.Dense(D, use_bias=False,
-                               kernel_init=torch_linear_kernel, name="values")
-        self.keys = nn.Dense(D, use_bias=False,
-                             kernel_init=torch_linear_kernel, name="keys")
-        self.queries = nn.Dense(D, use_bias=False,
-                                kernel_init=torch_linear_kernel, name="queries")
-        self.fc_out = nn.Dense(D, kernel_init=torch_linear_kernel,
-                               bias_init=torch_linear_bias(D), name="fc_out")
+        dense = lambda name, bias: nn.Dense(
+            D, use_bias=bias, kernel_init=torch_linear_kernel,
+            bias_init=torch_linear_bias(D), dtype=self.dtype, name=name)
+        self.values = dense("values", False)
+        self.keys = dense("keys", False)
+        self.queries = dense("queries", False)
+        self.fc_out = dense("fc_out", True)
 
     def project_kv(self, values: jax.Array, keys: jax.Array
                    ) -> Tuple[jax.Array, jax.Array]:
@@ -127,14 +127,19 @@ class GRUGate(nn.Module):
     near the identity map (Markovian policy at init)."""
     dim: int
     bias: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jax.Array, y: jax.Array) -> jax.Array:
         D = self.dim
-        kernel = lambda name: self.param(name, xavier_uniform(), (D, D))
+        kernel = lambda name: self.param(
+            name, xavier_uniform(), (D, D)).astype(self.dtype)
         Wr, Wz, Wg = kernel("Wr"), kernel("Wz"), kernel("Wg")
         Ur, Uz, Ug = kernel("Ur"), kernel("Uz"), kernel("Ug")
-        bg = self.param("bg", nn.initializers.constant(self.bias), (D,))
+        bg = self.param(
+            "bg", nn.initializers.constant(self.bias), (D,)).astype(self.dtype)
+        x = x.astype(self.dtype)
+        y = y.astype(self.dtype)
         # Concatenated kernels: 3 matmuls instead of 6 (identical math; the
         # rollout scan is op-count bound at small model sizes).
         yW = y @ jnp.concatenate([Wr, Wz, Wg], axis=1)
@@ -148,22 +153,30 @@ class GRUGate(nn.Module):
 class TransformerBlock(nn.Module):
     """One TrXL/GTrXL block (reference: transformer.py:88-172)."""
     config: TransformerConfig
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         cfg = self.config
         D = cfg.embed_dim
-        self.attention = MultiHeadAttention(D, cfg.num_heads, name="attention")
+        self.attention = MultiHeadAttention(
+            D, cfg.num_heads, dtype=self.dtype, name="attention")
         ln = cfg.layer_norm
         if ln in ("pre", "post"):
-            self.norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
-            self.norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+            self.norm1 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                      name="norm1")
+            self.norm2 = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                      name="norm2")
         if ln == "pre":
-            self.norm_kv = nn.LayerNorm(epsilon=1e-5, name="norm_kv")
+            self.norm_kv = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                                        name="norm_kv")
         if cfg.gtrxl:
-            self.gate1 = GRUGate(D, cfg.gtrxl_bias, name="gate1")
-            self.gate2 = GRUGate(D, cfg.gtrxl_bias, name="gate2")
+            self.gate1 = GRUGate(D, cfg.gtrxl_bias, dtype=self.dtype,
+                                 name="gate1")
+            self.gate2 = GRUGate(D, cfg.gtrxl_bias, dtype=self.dtype,
+                                 name="gate2")
         self.fc = nn.Dense(D, kernel_init=torch_linear_kernel,
-                           bias_init=torch_linear_bias(D), name="fc")
+                           bias_init=torch_linear_bias(D), dtype=self.dtype,
+                           name="fc")
 
     def project_kv(self, memory: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """PE-added memory entries -> projected (k, v). Applies the shared
@@ -228,6 +241,7 @@ class Transformer(nn.Module):
     """
     config: TransformerConfig
     max_episode_steps: int
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
         cfg = self.config
@@ -235,8 +249,10 @@ class Transformer(nn.Module):
         # (reference: model.py:44-48), so fan_in == embed_dim.
         self.linear_embedding = nn.Dense(
             cfg.embed_dim, kernel_init=orthogonal(np.sqrt(2)),
-            bias_init=torch_linear_bias(cfg.embed_dim), name="linear_embedding")
-        self.blocks = [TransformerBlock(cfg, name=f"block_{i}")
+            bias_init=torch_linear_bias(cfg.embed_dim), dtype=self.dtype,
+            name="linear_embedding")
+        self.blocks = [TransformerBlock(cfg, dtype=self.dtype,
+                                        name=f"block_{i}")
                        for i in range(cfg.num_blocks)]
         if cfg.positional_encoding == "learned":
             self.pos_embedding = self.param(

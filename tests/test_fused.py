@@ -50,3 +50,20 @@ def test_run_training_uses_chunks(tmp_path):
     result = trainer.run_training(print_every=0)
     assert trainer.update == 6
     assert "env_steps_per_second" in result
+
+
+def test_bfloat16_compute_path_trains():
+    """compute_dtype=bfloat16 (TPU-native mixed precision) must run and learn
+    with fp32 params and finite stats."""
+    import numpy as np
+    cfg = _tiny_cfg(updates_per_launch=2)
+    cfg = dataclasses.replace(cfg, compute_dtype="bfloat16")
+    trainer = PPOTrainer(cfg, run_id="bf16", enable_metrics=False)
+    results = trainer.train_chunk(2)
+    for r in results:
+        assert np.isfinite(r["loss"])
+        assert np.isfinite(r["kl"])
+    # params stay fp32
+    import jax.numpy as jnp
+    for leaf in jax.tree.leaves(trainer.params):
+        assert leaf.dtype == jnp.float32
