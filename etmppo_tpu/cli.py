@@ -26,10 +26,17 @@ def train_main(argv=None):
                         help="Force training on CPU")
     parser.add_argument("--resume", action="store_true",
                         help="Resume from the latest checkpoint for this run-id")
+    parser.add_argument("--debug-nans", action="store_true",
+                        help="Enable jax_debug_nans (NaN-check mode)")
+    parser.add_argument("--profile", metavar="DIR", default=None,
+                        help="Capture a jax.profiler trace of training to DIR")
     args = parser.parse_args(argv)
 
     if args.cpu:
         _force_cpu()
+    if args.debug_nans:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     from .config import load_config
     from .training.trainer import PPOTrainer
@@ -41,7 +48,12 @@ def train_main(argv=None):
         print(f"Resumed from checkpoint at update {trainer.update}"
               if resumed else "No checkpoint found; starting fresh")
     try:
-        result = trainer.run_training()
+        if args.profile:
+            from .utils.profiling import trace
+            with trace(args.profile):
+                result = trainer.run_training()
+        else:
+            result = trainer.run_training()
         print(f"env steps/s: {result.get('env_steps_per_second', 0.0):,.0f}")
     finally:
         trainer.close()

@@ -131,25 +131,60 @@ class HostEnvBatch:
                 f"host env worker failed: {payload[0]}\n{payload[1]}")
         return payload
 
+    def _respawn(self, i: int) -> np.ndarray:
+        """Failure recovery (no reference equivalent — a worker crash kills
+        the reference's training, worker.py:33-34): replace a dead/failed
+        worker process with a fresh one and return its envs' reset obs."""
+        try:
+            self._procs[i].terminate()
+        except Exception:
+            pass
+        ctx = mp.get_context("fork")
+        parent, child = ctx.Pipe()
+        proc = ctx.Process(
+            target=_worker_loop, args=(child, self.make_env, self._counts[i]),
+            daemon=True)
+        proc.start()
+        self._pipes[i] = parent
+        self._procs[i] = proc
+        parent.send(("reset", None))
+        return self._recv(parent)
+
     def reset_all(self) -> np.ndarray:
         for pipe in self._pipes:
             pipe.send(("reset", None))
         return np.concatenate([self._recv(p) for p in self._pipes])
 
-    def step(self, actions: np.ndarray
+    def step(self, actions: np.ndarray, restart_on_failure: bool = True
              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[Optional[Dict]]]:
-        """actions: (n_envs, n_branches) int array."""
+        """actions: (n_envs, n_branches) int array.
+
+        With ``restart_on_failure`` a crashed worker is respawned and its envs
+        report a truncated episode (done=True, no info) instead of killing
+        training."""
         offset = 0
         for pipe, count in zip(self._pipes, self._counts):
             pipe.send(("step", actions[offset:offset + count]))
             offset += count
         obs, rewards, dones, infos = [], [], [], []
-        for pipe in self._pipes:
-            o, r, d, i = self._recv(pipe)
+        for i, pipe in enumerate(self._pipes):
+            try:
+                o, r, d, info = self._recv(pipe)
+            except (RuntimeError, EOFError, OSError) as exc:
+                if not restart_on_failure:
+                    raise
+                import sys
+                print(f"[host-env] worker {i} failed, restarting: {exc}",
+                      file=sys.stderr)
+                o = self._respawn(i)
+                count = self._counts[i]
+                r = np.zeros(count, np.float32)
+                d = np.ones(count, bool)
+                info = [None] * count
             obs.append(o)
             rewards.append(r)
             dones.append(d)
-            infos.extend(i)
+            infos.extend(info)
         return (np.concatenate(obs), np.concatenate(rewards),
                 np.concatenate(dones), infos)
 

@@ -120,7 +120,36 @@ def test_host_worker_exception_propagates():
     batch.start(2)
     batch.reset_all()
     with pytest.raises(RuntimeError, match="boom in env"):
-        batch.step(np.zeros((2, 1), np.int64))
+        batch.step(np.zeros((2, 1), np.int64), restart_on_failure=False)
+    batch.close()
+
+
+def test_host_worker_crash_recovery():
+    """A crashing worker is respawned; its envs report truncated episodes."""
+    class FlakyEnv(MockPyEnv):
+        crashed = False
+
+        def step(self, action):
+            if self.t == 2 and not FlakyEnv.crashed:
+                FlakyEnv.crashed = True
+                raise RuntimeError("transient env crash")
+            return super().step(action)
+
+    batch = HostEnvBatch(make_env=FlakyEnv, n_procs=1)
+    batch.start(2)
+    batch.reset_all()
+    actions = np.zeros((2, 1), np.int64)
+    crashed_step = None
+    for t in range(1, 8):
+        obs, rewards, dones, infos = batch.step(actions)
+        if dones.all() and t < EP_LEN and crashed_step is None:
+            crashed_step = t  # truncation from the restart
+            np.testing.assert_allclose(obs, np.tile(_mock_obs(0), (2, 1)),
+                                       rtol=1e-6)
+    assert crashed_step is not None
+    # envs keep working after the restart
+    obs, rewards, dones, infos = batch.step(actions)
+    assert np.isfinite(rewards).all()
     batch.close()
 
 
