@@ -40,6 +40,9 @@ def create_env(config: EnvConfig) -> JaxEnv:
     if config.type == "MysteryPath-Grid":
         from .mystery_path import MysteryPathGridEnv
         return MysteryPathGridEnv(config.reset_params)
+    if config.type.endswith("-native"):
+        from .native import NativeEnvBatch
+        return NativeEnvBatch(config.type)
     if config.type in HOST_ENV_TYPES:
         from .host import HostEnvBatch
         import dataclasses

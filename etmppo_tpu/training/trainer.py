@@ -51,8 +51,10 @@ class PPOTrainer:
         # Jitted rollout + update (+ fused multi-update loop).  Host (Python)
         # environments use the host rollout driver; fusing updates into one
         # device program is only possible for pure-JAX envs.
-        from ..envs.host import HostEnvBatch
-        self.is_host_env = isinstance(self.env, HostEnvBatch)
+        # Host-driven envs (Python process pool or the native C++ engine)
+        # expose the vectorized reset_all/step API instead of the functional
+        # JAX protocol.
+        self.is_host_env = hasattr(self.env, "reset_all")
         if self.is_host_env:
             from .host_rollout import HostRolloutFn
             self.rollout_fn = HostRolloutFn(config, self.env, self.model)
