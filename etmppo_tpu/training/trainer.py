@@ -188,6 +188,7 @@ class PPOTrainer:
         cfg = self.config
         result: Dict[str, float] = {}
         start = time.perf_counter()
+        start_update = self.update  # may be > 0 after a checkpoint resume
         while self.update < cfg.updates:
             remaining = cfg.updates - self.update
             if cfg.updates_per_launch > 1 and self.fused_loop is not None:
@@ -207,7 +208,7 @@ class PPOTrainer:
                     and self.update % cfg.checkpoint_interval == 0):
                 self._save_checkpoint()
         elapsed = time.perf_counter() - start
-        total_steps = cfg.updates * self.env_steps_per_update
+        total_steps = (cfg.updates - start_update) * self.env_steps_per_update
         result["env_steps_per_second"] = total_steps / max(elapsed, 1e-9)
         self._save_model()
         return result
