@@ -30,6 +30,10 @@ def train_main(argv=None):
                         help="Enable jax_debug_nans (NaN-check mode)")
     parser.add_argument("--profile", metavar="DIR", default=None,
                         help="Capture a jax.profiler trace of training to DIR")
+    parser.add_argument("--seeds", type=int, default=1,
+                        help="Train N seeds sequentially (the reference's "
+                             "5-seed evaluation protocol); models saved as "
+                             "<run-id>_s<seed>.nn")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -38,25 +42,40 @@ def train_main(argv=None):
         import jax
         jax.config.update("jax_debug_nans", True)
 
+    import dataclasses
+
     from .config import load_config
     from .training.trainer import PPOTrainer
 
-    config = load_config(args.config)
-    trainer = PPOTrainer(config, run_id=args.run_id)
-    if args.resume:
-        resumed = trainer.resume_from_checkpoint()
-        print(f"Resumed from checkpoint at update {trainer.update}"
-              if resumed else "No checkpoint found; starting fresh")
-    try:
-        if args.profile:
-            from .utils.profiling import trace
-            with trace(args.profile):
+    base_config = load_config(args.config)
+    seed_results = []
+    for i in range(args.seeds):
+        config = base_config if args.seeds == 1 else dataclasses.replace(
+            base_config, seed=base_config.seed + i)
+        run_id = args.run_id if args.seeds == 1 else \
+            f"{args.run_id}_s{config.seed}"
+        trainer = PPOTrainer(config, run_id=run_id)
+        if args.resume:
+            resumed = trainer.resume_from_checkpoint()
+            print(f"Resumed from checkpoint at update {trainer.update}"
+                  if resumed else "No checkpoint found; starting fresh")
+        try:
+            if args.profile:
+                from .utils.profiling import trace
+                with trace(args.profile):
+                    result = trainer.run_training()
+            else:
                 result = trainer.run_training()
-        else:
-            result = trainer.run_training()
-        print(f"env steps/s: {result.get('env_steps_per_second', 0.0):,.0f}")
-    finally:
-        trainer.close()
+            print(f"env steps/s: "
+                  f"{result.get('env_steps_per_second', 0.0):,.0f}")
+            seed_results.append(result)
+        finally:
+            trainer.close()
+    if len(seed_results) > 1:
+        import numpy as np
+        rewards = [r.get("reward_mean", float("nan")) for r in seed_results]
+        print(f"[{len(seed_results)} seeds] final reward_mean: "
+              f"{np.nanmean(rewards):.3f} +/- {np.nanstd(rewards):.3f}")
 
 
 def enjoy_main(argv=None):
