@@ -106,22 +106,35 @@ class HostEnvBatch:
         probe.close()
         self.info_keys = ("reward", "length")
 
-    def start(self, n_envs: int) -> None:
+    def start(self, n_envs: int, n_groups: int = 1) -> None:
+        """Spawns worker processes. With ``n_groups`` > 1 the env range is
+        split into equal groups whose processes are disjoint, enabling
+        ``step_group`` (used by the pipelined host rollout to overlap one
+        group's env stepping with the other group's device compute)."""
         assert not self._started
+        assert n_envs % n_groups == 0
         self._n_envs = n_envs
-        n_procs = min(self._n_procs, n_envs)
-        base, extra = divmod(n_envs, n_procs)
+        self._n_groups = n_groups
+        self._group_pipes: List[List[int]] = [[] for _ in range(n_groups)]
+        per_group = n_envs // n_groups
+        procs_per_group = max(1, min(self._n_procs, per_group) // n_groups
+                              if n_groups > 1 else min(self._n_procs, n_envs))
         ctx = mp.get_context("fork")
-        for i in range(n_procs):
-            count = base + (1 if i < extra else 0)
-            parent, child = ctx.Pipe()
-            proc = ctx.Process(
-                target=_worker_loop, args=(child, self.make_env, count),
-                daemon=True)
-            proc.start()
-            self._pipes.append(parent)
-            self._procs.append(proc)
-            self._counts.append(count)
+        for g in range(n_groups):
+            base, extra = divmod(per_group, procs_per_group)
+            for i in range(procs_per_group):
+                count = base + (1 if i < extra else 0)
+                if count == 0:
+                    continue
+                parent, child = ctx.Pipe()
+                proc = ctx.Process(
+                    target=_worker_loop, args=(child, self.make_env, count),
+                    daemon=True)
+                proc.start()
+                self._group_pipes[g].append(len(self._pipes))
+                self._pipes.append(parent)
+                self._procs.append(proc)
+                self._counts.append(count)
         self._started = True
 
     def _recv(self, pipe):
@@ -154,6 +167,28 @@ class HostEnvBatch:
         for pipe in self._pipes:
             pipe.send(("reset", None))
         return np.concatenate([self._recv(p) for p in self._pipes])
+
+    def step_group(self, group: int, actions: np.ndarray
+                   ) -> Tuple[np.ndarray, np.ndarray, np.ndarray,
+                              List[Optional[Dict]]]:
+        """Steps only the envs of ``group`` (actions indexed within the
+        group).  Groups own disjoint worker processes, so concurrent use of
+        different groups never contends on a pipe."""
+        pipe_ids = self._group_pipes[group]
+        offset = 0
+        for pid in pipe_ids:
+            count = self._counts[pid]
+            self._pipes[pid].send(("step", actions[offset:offset + count]))
+            offset += count
+        obs, rewards, dones, infos = [], [], [], []
+        for pid in pipe_ids:
+            o, r, d, i = self._recv(self._pipes[pid])
+            obs.append(o)
+            rewards.append(r)
+            dones.append(d)
+            infos.extend(i)
+        return (np.concatenate(obs), np.concatenate(rewards),
+                np.concatenate(dones), infos)
 
     def step(self, actions: np.ndarray, restart_on_failure: bool = True
              ) -> Tuple[np.ndarray, np.ndarray, np.ndarray, List[Optional[Dict]]]:

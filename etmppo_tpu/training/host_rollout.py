@@ -35,8 +35,13 @@ class HostRolloutState(NamedTuple):
 
 
 class HostRolloutFn:
+    """``pipeline=True`` (default) splits workers into two groups and
+    overlaps one group's host env stepping with the other group's device
+    policy compute (JAX async dispatch is the future mechanism) — the
+    device never waits for Python envs unless they are the bottleneck."""
+
     def __init__(self, config: TrainConfig, env: HostEnvBatch,
-                 model: ActorCriticModel):
+                 model: ActorCriticModel, pipeline: bool = True):
         self.config = config
         self.env = env
         self.model = model
@@ -45,6 +50,8 @@ class HostRolloutFn:
         self.mask_table = jnp.asarray(build_memory_mask(trx.memory_length))
         self.index_table = jnp.asarray(
             build_memory_indices(self.max_ep, trx.memory_length))
+        self.n_groups = 2 if (pipeline and config.n_workers % 2 == 0
+                              and hasattr(env, "step_group")) else 1
         self._project = jax.jit(self._project_memory)
         self._policy_step = jax.jit(self._policy_step_impl)
         self._finish = jax.jit(self._finish_impl)
@@ -53,7 +60,11 @@ class HostRolloutFn:
         cfg = self.config
         trx = cfg.transformer
         W = cfg.n_workers
-        self.env.start(W)
+        try:
+            self.env.start(W, n_groups=self.n_groups)
+        except TypeError:  # engines without group support
+            self.n_groups = 1
+            self.env.start(W)
         obs = self.env.reset_all()
         return HostRolloutState(
             obs=obs, episode_step=jnp.zeros((W,), jnp.int32),
@@ -72,9 +83,10 @@ class HostRolloutFn:
         return k_cache, v_cache, pe_kv
 
     def _policy_step_impl(self, params, carry, obs, prev_dones):
-        """Applies pending done-resets, then forwards the policy (KV-cached)."""
+        """Applies pending done-resets, then forwards the policy (KV-cached).
+        Batch-size agnostic: runs on the full worker set or a pipeline group."""
         episode_step, memory, k_cache, v_cache, pe_k, pe_v, rng = carry
-        W = self.config.n_workers
+        W = obs.shape[0]
         L = self.config.transformer.memory_length
 
         done4 = prev_dones[:, None, None, None]
@@ -129,34 +141,82 @@ class HostRolloutFn:
         snapshot = state.memory
 
         k_cache, v_cache, (pe_k, pe_v) = self._project(params, state.memory)
-        carry = (state.episode_step, state.memory, k_cache, v_cache,
-                 pe_k, pe_v, state.rng)
 
         obs_host = np.empty((T, W) + self.env.observation_shape, np.float32)
         rewards = np.empty((T, W), np.float32)
         dones_host = np.empty((T, W), bool)
-        info_lists: List[List[Optional[Dict]]] = []
-        actions_l, log_probs_l, values_l, tape_l, e_l = [], [], [], [], []
+        info_lists: List[List[Optional[Dict]]] = [
+            [None] * W for _ in range(T)]
+        actions_l, log_probs_l, values_l, tape_l, e_l = (
+            [[] for _ in range(self.n_groups)] for _ in range(5))
 
-        obs = state.obs
-        prev_dones = jnp.zeros((W,), bool)
-        for t in range(T):
-            obs_host[t] = obs
-            carry, (actions, log_probs, value, mem_item, e) = \
-                self._policy_step(params, carry, jnp.asarray(obs), prev_dones)
-            actions_l.append(actions)
-            log_probs_l.append(log_probs)
-            values_l.append(value)
-            tape_l.append(mem_item)
-            e_l.append(e)
+        # Per-group device carries (group g owns workers [g*Wg, (g+1)*Wg)).
+        G = self.n_groups
+        Wg = W // G
+        sl = lambda g: slice(g * Wg, (g + 1) * Wg)
+        rngs = jax.random.split(state.rng, G + 1)
+        carries = [
+            (state.episode_step[sl(g)], state.memory[sl(g)],
+             k_cache[sl(g)], v_cache[sl(g)], pe_k, pe_v, rngs[g])
+            for g in range(G)]
+        obs_g = [np.asarray(state.obs[sl(g)]) for g in range(G)]
+        prev_dones = [jnp.zeros((Wg,), bool) for g in range(G)]
+
+        def launch(g, t):
+            """Async device dispatch of group g's policy for step t."""
+            obs_host[t, sl(g)] = obs_g[g]
+            carries[g], outs = self._policy_step(
+                params, carries[g], jnp.asarray(obs_g[g]), prev_dones[g])
+            return outs
+
+        def env_step(g, t, outs):
+            """Fetches actions (sync point) and steps group g's host envs —
+            by then the OTHER group's device work is already in flight."""
+            actions, log_probs, value, mem_item, e = outs
+            actions_l[g].append(actions)
+            log_probs_l[g].append(log_probs)
+            values_l[g].append(value)
+            tape_l[g].append(mem_item)
+            e_l[g].append(e)
             actions_np = np.asarray(actions)
-            obs, rewards[t], dones_host[t], infos = self.env.step(actions_np)
-            info_lists.append(infos)
-            prev_dones = jnp.asarray(dones_host[t])
+            if G == 1:
+                obs, r, d, infos = self.env.step(actions_np)
+            else:
+                obs, r, d, infos = self.env.step_group(g, actions_np)
+            obs_g[g] = obs
+            rewards[t, sl(g)] = r
+            dones_host[t, sl(g)] = d
+            info_lists[t][sl(g)] = infos
+            prev_dones[g] = jnp.asarray(d)
 
-        episode_step, memory = carry[0], carry[1]
-        e_arr = jnp.stack(e_l, axis=1)                     # (W, T)
-        values = jnp.stack(values_l, axis=1)
+        if G == 1:
+            for t in range(T):
+                env_step(0, t, launch(0, t))
+        else:
+            # software pipeline: device(A) overlaps host(B) and vice versa
+            pending = launch(0, 0)
+            for t in range(T):
+                outs_b = launch(1, t)
+                env_step(0, t, pending)      # host A while device B runs
+                if t + 1 < T:
+                    pending = launch(0, t + 1)
+                env_step(1, t, outs_b)       # host B while device A runs
+
+        # merge group carries back into full-worker arrays
+        episode_step = jnp.concatenate([c[0] for c in carries])
+        memory = jnp.concatenate([c[1] for c in carries])
+        merge_t = lambda lists: jnp.concatenate(
+            [jnp.stack(lists[g], axis=1) for g in range(G)], axis=0)
+        actions_l = [merge_t(actions_l)]
+        log_probs_l = [merge_t(log_probs_l)]
+        values_merged = merge_t(values_l)
+        tape_l = [merge_t(tape_l)]
+        e_merged = merge_t(e_l)
+        obs = np.concatenate(obs_g)
+        prev_dones = jnp.concatenate(prev_dones)
+        final_rng = rngs[G]
+        e_arr = e_merged                                   # (W, T)
+        values = values_merged
         dones = jnp.asarray(dones_host.T)                  # (W, T)
         rewards_dev = jnp.asarray(rewards.T)
         last_indices = self.index_table[e_arr[:, -1]]
@@ -181,12 +241,12 @@ class HostRolloutFn:
         batch = RolloutBatch(
             obs=jnp.asarray(obs_host.transpose((1, 0) + tuple(
                 range(2, obs_host.ndim)))),
-            actions=jnp.stack(actions_l, axis=1),
-            log_probs=jnp.stack(log_probs_l, axis=1),
+            actions=actions_l[0],
+            log_probs=log_probs_l[0],
             values=values, advantages=advantages,
             episode_steps=e_arr, dones=dones,
-            tape=jnp.stack(tape_l, axis=1), snapshot=snapshot,
+            tape=tape_l[0], snapshot=snapshot,
             episode_infos={k: jnp.asarray(v) for k, v in info_arrays.items()})
         new_state = HostRolloutState(
-            obs=obs, episode_step=e_final, memory=memory, rng=carry[6])
+            obs=obs, episode_step=e_final, memory=memory, rng=final_rng)
         return new_state, batch

@@ -193,3 +193,43 @@ def test_host_rollout_matches_device_rollout():
     np.testing.assert_allclose(np.asarray(dev_state.memory),
                                np.asarray(host_state.memory),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_pipelined_matches_serial_host_rollout():
+    """Two-group pipelined scheduling must produce identical batches to the
+    serial host path on deterministic (action-independent) dynamics."""
+    cfg = _cfg()
+    model_env = HostEnvBatch(make_env=MockPyEnv, n_procs=2)
+    from etmppo_tpu.models.actor_critic import ActorCriticModel
+    model = ActorCriticModel(
+        config=cfg, obs_shape=model_env.observation_shape,
+        action_branches=model_env.action_branches,
+        max_episode_steps=model_env.max_episode_steps)
+    params = model.init_params(jax.random.PRNGKey(0))
+
+    serial_env = model_env
+    serial_fn = HostRolloutFn(cfg, serial_env, model, pipeline=False)
+    assert serial_fn.n_groups == 1
+    s_state = serial_fn.init_state(jax.random.PRNGKey(1))
+    s_state, s_batch = serial_fn(params, s_state)
+    serial_env.close()
+
+    pipe_env = HostEnvBatch(make_env=MockPyEnv, n_procs=2)
+    pipe_fn = HostRolloutFn(cfg, pipe_env, model, pipeline=True)
+    assert pipe_fn.n_groups == 2
+    p_state = pipe_fn.init_state(jax.random.PRNGKey(1))
+    p_state, p_batch = pipe_fn(params, p_state)
+    pipe_env.close()
+
+    np.testing.assert_allclose(np.asarray(s_batch.obs),
+                               np.asarray(p_batch.obs), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(s_batch.dones),
+                                  np.asarray(p_batch.dones))
+    np.testing.assert_array_equal(np.asarray(s_batch.episode_steps),
+                                  np.asarray(p_batch.episode_steps))
+    np.testing.assert_allclose(np.asarray(s_batch.values),
+                               np.asarray(p_batch.values), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s_batch.advantages),
+                               np.asarray(p_batch.advantages), rtol=1e-4,
+                               atol=1e-4)
