@@ -19,7 +19,7 @@ from .poc_memory import PocMemoryEnv
 HOST_ENV_TYPES = (
     "SearingSpotlights", "MortarMayhem", "MysteryPath",
     "MortarMayhem-Grid-host", "MysteryPath-Grid-host",
-    "SearingSpotlights-host",
+    "SearingSpotlights-host", "Minigrid-host",
 )
 
 

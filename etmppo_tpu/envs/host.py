@@ -246,6 +246,15 @@ def _python_env_factory(config) -> Callable[[], Any]:
     reset_params = dict(config.reset_params)
 
     def make():
+        if env_type == "Minigrid":
+            try:
+                from .minigrid_host_wrapper import MinigridHostWrapper
+            except ImportError as exc:
+                raise ImportError(
+                    "environment type 'Minigrid-host' needs the gym-minigrid "
+                    "package (the pure-JAX Memory tasks need no package)"
+                ) from exc
+            return MinigridHostWrapper(name)
         if env_type in ("SearingSpotlights", "MortarMayhem",
                         "MortarMayhem-Grid", "MysteryPath", "MysteryPath-Grid"):
             try:
