@@ -125,3 +125,51 @@ def test_pallas_update_matches_xla_update():
                     jax.tree.leaves(results[True][0])):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-5)
+
+
+def test_pallas_backward_matches_xla_backward():
+    """The fully-fused Pallas backward must produce the same gradients as the
+    XLA VJP (accumulation across overlapping windows included)."""
+    from etmppo_tpu.ops import pallas_window_attention as pwa
+
+    args = _case(B=16, W=3, S=30, P=12, L=8, D=32, seed=7)
+
+    def loss(q, tk, tv, pk, pv):
+        out = pwa.fused_window_attention(q, tk, tv, pk, pv, *args[5:], 4)
+        return jnp.sum(jnp.sin(out))
+
+    grads_xla = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    old = pwa.BACKWARD_MODE
+    try:
+        pwa.BACKWARD_MODE = "pallas"
+        grads_pallas = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    finally:
+        pwa.BACKWARD_MODE = old
+    names = ("dq", "dtk", "dtv", "dpk", "dpv")
+    for name, gx, gp in zip(names, grads_xla, grads_pallas):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_pallas_backward_all_masked_row():
+    from etmppo_tpu.ops import pallas_window_attention as pwa
+    args = list(_case(B=8))
+    mask = np.ones((8, args[9].shape[1]), bool)
+    mask[0, :] = False   # uniform-attention row: dq/dK must be zero there
+    args[9] = jnp.asarray(mask)
+    args = tuple(args)
+
+    def loss(q, tk, tv, pk, pv):
+        out = pwa.fused_window_attention(q, tk, tv, pk, pv, *args[5:], 4)
+        return jnp.sum(out ** 2)
+
+    grads_xla = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    old = pwa.BACKWARD_MODE
+    try:
+        pwa.BACKWARD_MODE = "pallas"
+        grads_pallas = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    finally:
+        pwa.BACKWARD_MODE = old
+    for gx, gp in zip(grads_xla, grads_pallas):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-5)
