@@ -17,7 +17,7 @@ from .poc_memory import PocMemoryEnv
 # "-host" (or use a non-Grid type) to run the original Python packages
 # through the host bridge.
 HOST_ENV_TYPES = (
-    "SearingSpotlights", "MortarMayhem", "MysteryPath",
+    "MortarMayhem", "MysteryPath",
     "MortarMayhem-Grid-host", "MysteryPath-Grid-host",
     "SearingSpotlights-host", "Minigrid-host",
 )
@@ -40,6 +40,9 @@ def create_env(config: EnvConfig) -> JaxEnv:
     if config.type == "MysteryPath-Grid":
         from .mystery_path import MysteryPathGridEnv
         return MysteryPathGridEnv(config.reset_params)
+    if config.type == "SearingSpotlights":
+        from .searing_spotlights import SearingSpotlightsEnv
+        return SearingSpotlightsEnv(config.reset_params)
     if config.type.endswith("-native"):
         from .native import NativeEnvBatch
         return NativeEnvBatch(config.type)

@@ -229,3 +229,74 @@ def test_envs_vmappable_and_trainable():
         state, batch = rollout_fn(params, state)
         assert batch.obs.shape == (2, 4, 84, 84, 3)
         assert np.isfinite(np.asarray(batch.values)).all()
+
+
+class TestSearingSpotlights:
+    def make(self):
+        from etmppo_tpu.envs.searing_spotlights import SearingSpotlightsEnv
+        return SearingSpotlightsEnv({})
+
+    def test_multi_discrete_protocol(self):
+        env = self.make()
+        assert env.action_branches == (3, 3)
+        state, obs = env.reset(jax.random.PRNGKey(0))
+        assert obs.shape == (84, 84, 3)
+        state, obs, r, d, info = env.step(
+            state, jnp.asarray([2, 1], jnp.int32), jax.random.PRNGKey(1))
+        assert float(state.pos[0]) > 0.0
+
+    def test_show_phase_then_darkness(self):
+        env = self.make()
+        state, obs = env.reset(jax.random.PRNGKey(3))
+        lit_fraction = float((np.asarray(obs) > 0).mean())
+        for _ in range(10):
+            state, obs, r, d, info = env.step(
+                state, jnp.asarray([1, 1], jnp.int32), jax.random.PRNGKey(0))
+        dark_fraction = float((np.asarray(obs) > 0).mean())
+        assert lit_fraction > 0.9          # initial phase: fully visible
+        assert dark_fraction < lit_fraction * 0.6   # later: mostly dark
+
+    def test_coin_then_exit_success(self):
+        env = self.make()
+        state, obs = env.reset(jax.random.PRNGKey(1))
+
+        def walk_to(state, target, max_steps=120):
+            done, info, r = False, {}, 0.0
+            total = 0.0
+            for _ in range(max_steps):
+                d = np.asarray(target) - np.asarray(state.pos)
+                a = jnp.asarray([int(np.sign(d[0])) + 1,
+                                 int(np.sign(d[1])) + 1], jnp.int32)
+                state, obs, r, done, info = env.step(
+                    state, a, jax.random.PRNGKey(0))
+                total += float(r)
+                if done or np.linalg.norm(
+                        np.asarray(state.pos) - np.asarray(target)) < 0.02:
+                    break
+            return state, total, done, info
+
+        coin = np.asarray(state.coin_pos)
+        state, r1, done, info = walk_to(state, coin)
+        assert bool(state.coin_collected)
+        if not done:
+            exit_pos = np.asarray(state.exit_pos)
+            state, r2, done, info = walk_to(state, exit_pos)
+            if bool(done) and float(info["success"]) == 1.0:
+                assert r1 + r2 >= 1.0  # coin + exit rewards (minus damage 0)
+
+    def test_health_depletes_in_spotlights(self):
+        env = self.make()
+        state, obs = env.reset(jax.random.PRNGKey(2))
+        # teleport a spotlight onto the agent and stay put in darkness
+        state = state._replace(
+            t=jnp.int32(20),
+            spot_pos=state.spot_pos.at[0].set(state.pos))
+        state, obs, r, d, info = env.step(
+            state, jnp.asarray([1, 1], jnp.int32), jax.random.PRNGKey(0))
+        assert float(state.health) < env.initial_health
+
+    def test_factory(self):
+        from etmppo_tpu.config import EnvConfig
+        from etmppo_tpu.envs.searing_spotlights import SearingSpotlightsEnv
+        env = create_env(EnvConfig(type="SearingSpotlights"))
+        assert isinstance(env, SearingSpotlightsEnv)
