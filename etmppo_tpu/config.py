@@ -107,6 +107,10 @@ class TrainConfig:
     # Updates fused into one device program (lax.scan over updates); 1 =
     # launch-per-update like the reference. Higher amortizes dispatch latency.
     updates_per_launch: int = 8
+    # Store rollout observations as uint8 (x255) in the training batch —
+    # 4x less HBM for image envs at <=0.4% quantization error. Off by default
+    # for exact reference parity.
+    obs_uint8: bool = False
 
     def __post_init__(self):
         if (self.n_workers * self.worker_steps) % self.n_mini_batch != 0:
@@ -162,8 +166,9 @@ def config_from_dict(raw: Dict[str, Any]) -> TrainConfig:
     for name in ("compute_dtype", "checkpoint_dir", "summary_dir"):
         if name in raw:
             kwargs[name] = str(raw[name])
-    if "use_pallas_attention" in raw:
-        kwargs["use_pallas_attention"] = bool(raw["use_pallas_attention"])
+    for name in ("use_pallas_attention", "obs_uint8"):
+        if name in raw:
+            kwargs[name] = bool(raw[name])
     for name in ("learning_rate_schedule", "beta_schedule", "clip_range_schedule"):
         if name in raw:
             kwargs[name] = _schedule_from_dict(raw[name])

@@ -253,8 +253,11 @@ class PPOUpdateFn:
 
         def minibatch_step(carry, idx):
             params, opt_state = carry
+            mb_obs = flat_batch["obs"][idx]
+            if cfg.obs_uint8:
+                mb_obs = mb_obs.astype(jnp.float32) / 255.0
             mb = dict(
-                obs=flat_batch["obs"][idx],
+                obs=mb_obs,
                 actions=flat_batch["actions"][idx],
                 log_probs=flat_batch["log_probs"][idx],
                 values=flat_batch["values"][idx],

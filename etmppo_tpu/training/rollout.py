@@ -136,8 +136,11 @@ class RolloutFn:
         episode_step = jnp.where(done, 0, e + 1)
 
         new_state = RolloutState(env_state, obs_next, episode_step, memory, rng)
+        stored_obs = state.obs
+        if self.config.obs_uint8:
+            stored_obs = jnp.round(stored_obs * 255.0).astype(jnp.uint8)
         outputs = dict(
-            obs=state.obs, actions=actions, log_probs=log_probs, values=value,
+            obs=stored_obs, actions=actions, log_probs=log_probs, values=value,
             rewards=reward, dones=done, episode_steps=e, tape=mem_item,
             infos=info)
         return (new_state, k_cache, v_cache), outputs

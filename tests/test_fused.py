@@ -67,3 +67,18 @@ def test_bfloat16_compute_path_trains():
     import jax.numpy as jnp
     for leaf in jax.tree.leaves(trainer.params):
         assert leaf.dtype == jnp.float32
+
+
+def test_obs_uint8_storage_trains():
+    """uint8 obs storage (HBM saving for image envs) runs and matches fp32
+    closely on a quantization-free env (PocMemory obs are multiples of 0.2
+    and +-1... not exactly representable -> compare loosely)."""
+    import numpy as np
+    r32 = PPOTrainer(_tiny_cfg(), run_id="o32",
+                     enable_metrics=False).train_chunk(2)
+    cfg = dataclasses.replace(_tiny_cfg(), obs_uint8=True)
+    r8 = PPOTrainer(cfg, run_id="o8", enable_metrics=False).train_chunk(2)
+    for a, b in zip(r32, r8):
+        assert np.isfinite(b["loss"])
+        # same seed, nearly identical losses (quantization-level differences)
+        assert abs(a["loss"] - b["loss"]) < 0.05
