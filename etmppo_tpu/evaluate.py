@@ -63,10 +63,12 @@ def evaluate_params(params, config: TrainConfig, episodes: int = 50,
             env_state, obs, t, finished, k_cache, v_cache, rng, infos = carry
             rng, a_rng, s_rng = jax.random.split(rng, 3)
             mask = mask_table[jnp.clip(t, 0, L - 1)]
-            indices = index_table[t]
-            idx = indices[:, :, None, None]
-            k_win = jnp.take_along_axis(k_cache, idx, axis=1)
-            v_win = jnp.take_along_axis(v_cache, idx, axis=1)
+            s_lo = jnp.maximum(t - (L - 1), 0)
+            slice_window = jax.vmap(
+                lambda cache, start: jax.lax.dynamic_slice_in_dim(
+                    cache, start, L, axis=0))
+            k_win = slice_window(k_cache, s_lo)
+            v_win = slice_window(v_cache, s_lo)
             logits, _, mem_item = model.apply(
                 params, obs, k_win, v_win, mask,
                 method=type(model).forward_with_kv)

@@ -97,10 +97,12 @@ class HostRolloutFn:
 
         rng, action_rng = jax.random.split(rng)
         mask = self.mask_table[jnp.clip(e, 0, L - 1)]
-        indices = self.index_table[e]
-        idx = indices[:, :, None, None]
-        k_win = jnp.take_along_axis(k_cache, idx, axis=1)
-        v_win = jnp.take_along_axis(v_cache, idx, axis=1)
+        s_lo = jnp.maximum(e - (L - 1), 0)
+        slice_window = jax.vmap(
+            lambda cache, start: jax.lax.dynamic_slice_in_dim(
+                cache, start, L, axis=0))
+        k_win = slice_window(k_cache, s_lo)
+        v_win = slice_window(v_cache, s_lo)
         logits, value, mem_item = self.model.apply(
             params, obs, k_win, v_win, mask,
             method=type(self.model).forward_with_kv)

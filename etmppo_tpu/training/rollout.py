@@ -101,10 +101,14 @@ class RolloutFn:
 
         e = state.episode_step
         mask = self.mask_table[jnp.clip(e, 0, L - 1)]                # (W, L)
-        indices = self.index_table[e]                                 # (W, L)
-        idx = indices[:, :, None, None]
-        k_win = jnp.take_along_axis(k_cache, idx, axis=1)             # (W, L, b, D)
-        v_win = jnp.take_along_axis(v_cache, idx, axis=1)
+        # Window rows are always contiguous [s_lo, s_lo + L): a dynamic slice
+        # per worker beats a general gather.
+        s_lo = jnp.maximum(e - (L - 1), 0)
+        slice_window = jax.vmap(
+            lambda cache, start: jax.lax.dynamic_slice_in_dim(
+                cache, start, L, axis=0))
+        k_win = slice_window(k_cache, s_lo)                           # (W, L, b, D)
+        v_win = slice_window(v_cache, s_lo)
         logits, value, mem_item = self.model.apply(
             params, state.obs, k_win, v_win, mask,
             method=type(self.model).forward_with_kv)
