@@ -77,12 +77,19 @@ def test_window_sources_future_slots_invalid_after_done():
         np.asarray(src.valid[0, 3]), [True, True, True, False])
 
 
-def test_window_sources_against_reference_simulation(rng):
+import pytest
+
+
+@pytest.mark.parametrize("fuzz_seed,W,T,max_ep,L", [
+    (0, 3, 24, 10, 4), (1, 2, 40, 8, 8), (2, 5, 16, 12, 3),
+    (3, 1, 64, 6, 6), (4, 4, 30, 20, 7)])
+def test_window_sources_against_reference_simulation(rng, fuzz_seed, W, T,
+                                                     max_ep, L):
     """Drives random episode traces through the reference's list/clone
     bookkeeping (oracle) and asserts identical reconstructed windows."""
     import jax
-    np_rng = np.random.default_rng(0)
-    W, T, max_ep, L, blocks, D = 3, 24, 10, 4, 2, 5
+    np_rng = np.random.default_rng(fuzz_seed)
+    blocks, D = 2, 5
 
     # Random episode structure: episodes end with prob 0.2 each step.
     e = np.zeros((W, T), np.int64)
@@ -120,14 +127,16 @@ def test_window_sources_against_reference_simulation(rng):
                 err_msg=f"worker {w} step {t} (e={e[w, t]}, done={dones[w, t]})")
 
 
-def test_timeline_sources_match_flat_index_windows():
+@pytest.mark.parametrize("fuzz_seed,W,T,max_ep,L", [
+    (5, 3, 30, 12, 5), (6, 2, 50, 9, 9), (7, 4, 20, 16, 4), (8, 1, 40, 6, 5)])
+def test_timeline_sources_match_flat_index_windows(fuzz_seed, W, T, max_ep, L):
     """Timeline (contiguous-run) addressing must reconstruct the same windows
     as the general flat-index gather, on random episode traces."""
     import jax
     from etmppo_tpu.ops.memory_index import (build_timeline,
                                              compute_timeline_sources)
-    np_rng = np.random.default_rng(5)
-    W, T, max_ep, L, blocks, D = 3, 30, 12, 5, 2, 4
+    np_rng = np.random.default_rng(fuzz_seed)
+    blocks, D = 2, 4
 
     e = np.zeros((W, T), np.int64)
     dones = np.zeros((W, T), bool)
