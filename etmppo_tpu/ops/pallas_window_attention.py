@@ -9,20 +9,40 @@ energy / sqrt(embed_dim)) directly from the per-worker K/V *timeline* in HBM:
 
 Because valid window rows are one contiguous timeline run and the invalid
 suffix is a contiguous PE-table run (ops/memory_index.py TimelineSources),
-each sample needs exactly TWO bulk DMAs (K and V) of L rows — the XLA path
+each sample needs exactly TWO bulk DMAs (K and V) of ~L rows — the XLA path
 instead materializes gathered (B, L, D) K/V arrays in HBM (write + re-read).
 The kernel overlaps the next sample's DMAs with the previous wait and never
 materializes the gathered windows.
 
+Mosaic (real-TPU) constraints shape the implementation — all verified
+on a v5e chip, not just in interpret mode:
+  * dot_general with >1 batch dim fails to lower -> per-sample 2-D matmuls
+    with a block-diagonal head trick (`_head_masks`): one (L, D) @ (D, H)
+    matmul yields every head's scores at once because each head's dims are
+    zeroed for the other heads.
+  * DMA row starts must be provably 8-aligned and row counts multiples of 8
+    -> fetch the 8-aligned superset window of Lp = round_up(L, 8) + 16 rows
+    starting at 8*(st//8) (timelines are padded by PAD rows), then realign
+    with selection-matrix matmuls built from iota comparisons (MXU work,
+    no unaligned vector loads anywhere).  Gradient scatter back into the
+    timeline/PE tables uses the transposed selection matrices.
+  * Vector loads/stores at dynamic sublane offsets are illegal -> the PE
+    window fetch and the PE-gradient accumulation are selection matmuls
+    against the full (P, D) tables held in VMEM.
+  * i1 vectors cannot gain a minor dim -> masks widen to i32 before reshape.
+  * Slice minor dims must be 128-multiples -> embed dims not divisible by
+    128 (the PocMemory-scale configs) fall back to the XLA path on TPU.
+
 The public entry ``fused_window_attention`` is a ``jax.custom_vjp``: forward
-runs the Pallas kernel; backward re-derives gradients through the XLA
-reference formulation (identical math), so training with the kernel is
-exact.  Falls back to the XLA path on non-TPU backends.
+runs the Pallas kernel; backward either re-derives gradients through the XLA
+reference formulation (identical math) or runs the fused Pallas backward
+kernel (``BACKWARD_MODE = "pallas"``), whose timeline-gradient accumulation
+is race-free because Pallas TPU grids execute sequentially on the core.
+Falls back to the XLA path on non-TPU backends.
 """
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import numpy as np
 
@@ -33,9 +53,18 @@ from jax.experimental.pallas import tpu as pltpu
 
 MASK_FILL = -1e20
 
+# Timeline rows of padding appended before the kernel so the 8-aligned
+# superset DMA window never reads past the end (start <= S - L, so
+# 8*(start//8) + Lp <= S - L + L + 16 = S + PAD).
+PAD = 16
+
+
+def _lp(L: int) -> int:
+    return ((L + 7) // 8) * 8 + PAD
+
 
 def _attention_math(q, k, v, mask, num_heads: int, embed_dim: int):
-    """Shared QK/softmax/PV math on assembled windows.
+    """Shared QK/softmax/PV math on assembled windows (XLA path).
     q: (TB, D); k/v: (TB, L, D); mask: (TB, L) bool."""
     TB, D = q.shape
     L = k.shape[1]
@@ -44,11 +73,13 @@ def _attention_math(q, k, v, mask, num_heads: int, embed_dim: int):
     kh = k.reshape(TB, L, num_heads, head)
     vh = v.reshape(TB, L, num_heads, head)
     energy = jnp.einsum("bhd,blhd->bhl", qh, kh,
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     energy = jnp.where(mask[:, None, :], energy, MASK_FILL)
     attention = jax.nn.softmax(energy / np.sqrt(embed_dim), axis=-1)
     out = jnp.einsum("bhl,blhd->bhd", attention, vh,
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
     return out.reshape(TB, D)
 
 
@@ -68,55 +99,126 @@ def xla_window_attention(q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start,
     return _attention_math(q, k, v, mask, num_heads, D)
 
 
-def _kernel(w_ref, start_ref, n_ref, slo_ref,            # scalar prefetch
+def _supported_on_tpu(embed_dim: int) -> bool:
+    """Mosaic requires slice minor dims aligned to the 128-lane tile;
+    sub-128 embed dims (e.g. the PocMemory 64-dim config) fall back to the
+    XLA formulation on real TPUs (interpret mode has no such constraint)."""
+    return embed_dim % 128 == 0 or jax.default_backend() != "tpu"
+
+
+def _head_masks(D: int, H: int):
+    """(D, H) and (H, D) 0/1 block masks: entry is 1 iff dim d belongs to
+    head h.  Lets all heads' scores come out of ONE 2-D matmul per sample
+    (Mosaic's dot lowering rejects the multi-batch-dim einsum formulation)."""
+    hd = D // H
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, (D, H), 0)
+    h_iota = jax.lax.broadcasted_iota(jnp.int32, (D, H), 1)
+    mask_dh = (d_iota // hd == h_iota).astype(jnp.float32)      # (D, H)
+    d_iota_t = jax.lax.broadcasted_iota(jnp.int32, (H, D), 1)
+    h_iota_t = jax.lax.broadcasted_iota(jnp.int32, (H, D), 0)
+    mask_hd = (d_iota_t // hd == h_iota_t).astype(jnp.float32)  # (H, D)
+    return mask_dh, mask_hd
+
+
+def _selection_mats(L: int, Lp: int, P: int, delta, n, slo):
+    """Window-assembly selection matrices for one sample.
+
+    sel_t (L, Lp): row j picks superset-buffer row delta + j when j < n
+    (valid timeline rows); sel_p (L, P): row j picks PE-table row slo + j
+    when j >= n.  `K_window = sel_t @ buf + sel_p @ pe_table` — realignment
+    + gather + valid/invalid mixing as two MXU matmuls, because Mosaic
+    forbids unaligned dynamic vector loads.
+    """
+    rows_t = jax.lax.broadcasted_iota(jnp.int32, (L, Lp), 0)
+    cols_t = jax.lax.broadcasted_iota(jnp.int32, (L, Lp), 1)
+    sel_t = ((cols_t == rows_t + delta) & (rows_t < n)).astype(jnp.float32)
+    rows_p = jax.lax.broadcasted_iota(jnp.int32, (L, P), 0)
+    cols_p = jax.lax.broadcasted_iota(jnp.int32, (L, P), 1)
+    sel_p = ((cols_p == rows_p + slo) & (rows_p >= n)).astype(jnp.float32)
+    return sel_t, sel_p
+
+
+def _softmax_lh(energy, mask_col, embed_dim: int):
+    """Column softmax of (L, H) scores over the L axis with the reference's
+    mask-fill-then-scale order; all-masked columns come out uniform."""
+    energy = jnp.where(mask_col, energy, MASK_FILL)
+    scaled = energy / np.sqrt(embed_dim)
+    scaled = scaled - jnp.max(scaled, axis=0, keepdims=True)
+    e = jnp.exp(scaled)
+    return e / jnp.sum(e, axis=0, keepdims=True)
+
+
+def _kernel(w_ref, st8_ref, delta_ref, n_ref, slo_ref,   # scalar prefetch
             q_ref, mask_ref, pe_k_ref, pe_v_ref,         # VMEM inputs
             tk_ref, tv_ref,                              # HBM timelines
             out_ref,                                     # VMEM output
             kb, vb, sems,                                # scratch
-            *, TB: int, L: int, num_heads: int, embed_dim: int):
+            *, TB: int, L: int, Lp: int, num_heads: int, embed_dim: int):
     i0 = pl.program_id(0) * TB
+    D = embed_dim
+    P = pe_k_ref.shape[0]
 
     def dma(i):
         w = w_ref[i0 + i]
-        st = start_ref[i0 + i]
+        st = st8_ref[i0 + i] * 8        # *8 in-kernel: provably 8-aligned
         return (pltpu.make_async_copy(
-                    tk_ref.at[w, pl.ds(st, L)], kb.at[i], sems.at[i, 0]),
+                    tk_ref.at[w, pl.ds(st, Lp)], kb.at[i], sems.at[i, 0]),
                 pltpu.make_async_copy(
-                    tv_ref.at[w, pl.ds(st, L)], vb.at[i], sems.at[i, 1]))
+                    tv_ref.at[w, pl.ds(st, Lp)], vb.at[i], sems.at[i, 1]))
 
     for i in range(TB):
-        dk, dv = dma(i)
-        dk.start()
-        dv.start()
+        for d in dma(i):
+            d.start()
+
+    mask_dh, mask_hd = _head_masks(D, num_heads)
     for i in range(TB):
-        dk, dv = dma(i)
-        dk.wait()
-        dv.wait()
+        for d in dma(i):
+            d.wait()
+        sel_t, sel_p = _selection_mats(
+            L, Lp, P, delta_ref[i0 + i], n_ref[i0 + i], slo_ref[i0 + i])
+        k = (jnp.dot(sel_t, kb[i], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+             + jnp.dot(sel_p, pe_k_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST))
+        v = (jnp.dot(sel_t, vb[i], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+             + jnp.dot(sel_p, pe_v_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST))
 
-    # Assemble windows: timeline rows where j < n_valid, PE rows otherwise.
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TB, L), 1)
-    n_vec = jnp.stack([n_ref[i0 + i] for i in range(TB)])[:, None]
-    pe_k_rows = jnp.stack(
-        [pe_k_ref[pl.ds(slo_ref[i0 + i], L), :] for i in range(TB)])
-    pe_v_rows = jnp.stack(
-        [pe_v_ref[pl.ds(slo_ref[i0 + i], L), :] for i in range(TB)])
-    valid = (rows < n_vec)[:, :, None]
-    k = jnp.where(valid, kb[:], pe_k_rows)
-    v = jnp.where(valid, vb[:], pe_v_rows)
+        # i1 vectors can't gain a minor dim in Mosaic; widen to i32 first.
+        mask_col = mask_ref[i, :].astype(jnp.int32).reshape(L, 1) != 0
+        q_row = q_ref[i, :].reshape(1, D)
+        qbd = mask_dh * q_row.reshape(D, 1)                      # (D, H)
+        energy = jnp.dot(k, qbd, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        p = _softmax_lh(energy, mask_col, D)                     # (L, H)
+        p_full = jnp.dot(p, mask_hd, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        out_ref[i, :] = jnp.sum(p_full * v, axis=0)
 
-    out_ref[:] = _attention_math(
-        q_ref[:], k, v, mask_ref[:], num_heads, embed_dim)
+
+def _pad_timelines(timeline_k, timeline_v):
+    pad = ((0, 0), (0, PAD), (0, 0))
+    return jnp.pad(timeline_k, pad), jnp.pad(timeline_v, pad)
 
 
 def _pallas_forward(q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start,
                     n_valid, s_lo, mask, num_heads: int, tile: int = 8):
+    if not _supported_on_tpu(q.shape[1]):
+        return xla_window_attention(q, timeline_k, timeline_v, pe_k, pe_v,
+                                    w_idx, start, n_valid, s_lo, mask,
+                                    num_heads)
     B, D = q.shape
     L = mask.shape[1]
+    Lp = _lp(L)
     TB = tile
     while B % TB != 0:
         TB //= 2
+    tk_p, tv_p = _pad_timelines(timeline_k, timeline_v)
+    st8 = start // 8
+    delta = start - st8 * 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B // TB,),
         in_specs=[
             pl.BlockSpec((TB, D), lambda i, *_: (i, 0),
@@ -131,111 +233,129 @@ def _pallas_forward(q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start,
         out_specs=pl.BlockSpec((TB, D), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((TB, L, D), jnp.float32),
-            pltpu.VMEM((TB, L, D), jnp.float32),
+            pltpu.VMEM((TB, Lp, D), jnp.float32),
+            pltpu.VMEM((TB, Lp, D), jnp.float32),
             pltpu.SemaphoreType.DMA((TB, 2)),
         ])
     kernel = functools.partial(
-        _kernel, TB=TB, L=L, num_heads=num_heads, embed_dim=D)
+        _kernel, TB=TB, L=L, Lp=Lp, num_heads=num_heads, embed_dim=D)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
         interpret=jax.default_backend() != "tpu",
-    )(w_idx, start, n_valid, s_lo, q, mask, pe_k, pe_v,
-      timeline_k, timeline_v)
+    )(w_idx, st8, delta, n_valid, s_lo, q, mask, pe_k, pe_v, tk_p, tv_p)
 
 
-def _bwd_kernel(w_ref, start_ref, n_ref, slo_ref,        # scalar prefetch
+def _bwd_kernel(w_ref, st8_ref, delta_ref, n_ref, slo_ref,  # scalar prefetch
                 q_ref, g_ref, mask_ref, pe_k_ref, pe_v_ref,
                 tk_ref, tv_ref,                           # HBM timelines
                 dtk_in_ref, dtv_in_ref,                   # aliased to outputs
                 dq_ref, dtk_ref, dtv_ref, dpk_out, dpv_out,
                 kb, vb, dk_acc, dv_acc, dpk_acc, dpv_acc, sems,
-                *, TB: int, L: int, num_heads: int, embed_dim: int):
-    del dtk_in_ref, dtv_in_ref  # same buffers as dtk_ref/dtv_ref
+                *, TB: int, L: int, Lp: int, num_heads: int, embed_dim: int):
     """Backward: recompute probs from streamed K/V, then accumulate dK/dV
     into the (pre-zeroed, input-aliased) timeline-gradient buffers with
     read-modify-write DMAs.  Pallas TPU grids run sequentially on the core,
     so accumulation across programs is race-free; within a tile the samples
-    are processed serially for the same reason."""
+    are processed serially for the same reason.  Scatter back to unaligned
+    row offsets is the transposed selection matmul."""
+    del dtk_in_ref, dtv_in_ref  # same buffers as dtk_ref/dtv_ref
     i0 = pl.program_id(0) * TB
-    H = num_heads
     D = embed_dim
-    hd = D // H
+    P = pe_k_ref.shape[0]
 
     @pl.when(pl.program_id(0) == 0)
     def _():
         dpk_acc[:] = jnp.zeros_like(dpk_acc)
         dpv_acc[:] = jnp.zeros_like(dpv_acc)
 
+    mask_dh, mask_hd = _head_masks(D, num_heads)
     for i in range(TB):
         w = w_ref[i0 + i]
-        st = start_ref[i0 + i]
+        st = st8_ref[i0 + i] * 8
+        delta = delta_ref[i0 + i]
         n = n_ref[i0 + i]
         slo = slo_ref[i0 + i]
 
         k_dma = pltpu.make_async_copy(
-            tk_ref.at[w, pl.ds(st, L)], kb, sems.at[0])
+            tk_ref.at[w, pl.ds(st, Lp)], kb, sems.at[0])
         v_dma = pltpu.make_async_copy(
-            tv_ref.at[w, pl.ds(st, L)], vb, sems.at[1])
+            tv_ref.at[w, pl.ds(st, Lp)], vb, sems.at[1])
         k_dma.start()
         v_dma.start()
         k_dma.wait()
         v_dma.wait()
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (L, 1), 0)
-        valid = rows < n                                   # (L, 1)
-        pe_k_rows = pe_k_ref[pl.ds(slo, L), :]
-        pe_v_rows = pe_v_ref[pl.ds(slo, L), :]
-        k = jnp.where(valid, kb[:], pe_k_rows).reshape(L, H, hd)
-        v = jnp.where(valid, vb[:], pe_v_rows).reshape(L, H, hd)
+        sel_t, sel_p = _selection_mats(L, Lp, P, delta, n, slo)
+        k = (jnp.dot(sel_t, kb[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+             + jnp.dot(sel_p, pe_k_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST))
+        v = (jnp.dot(sel_t, vb[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+             + jnp.dot(sel_p, pe_v_ref[:], preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST))
 
-        q = q_ref[i].reshape(H, hd)
-        gout = g_ref[i].reshape(H, hd)
-        mask = mask_ref[i]                                 # (L,)
-        energy = jnp.einsum("hd,lhd->hl", q, k,
-                            preferred_element_type=jnp.float32)
-        energy = jnp.where(mask[None, :], energy, MASK_FILL)
+        # Same block-diagonal head trick as the forward kernel: all per-head
+        # contractions become 2-D matmuls against the 0/1 head masks.
+        q_row = q_ref[i, :].reshape(1, D)
+        g_row = g_ref[i, :].reshape(1, D)
+        mask_col = mask_ref[i, :].astype(jnp.int32).reshape(L, 1) != 0
+        qbd = mask_dh * q_row.reshape(D, 1)                       # (D, H)
+        energy = jnp.dot(k, qbd, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        p = _softmax_lh(energy, mask_col, D)                      # (L, H)
+
+        p_full = jnp.dot(p, mask_hd, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        dv_flat = p_full * g_row                                  # (L, D)
+        dp = jnp.dot(v * g_row, mask_dh,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)          # (L, H)
         scale = 1.0 / np.sqrt(D)
-        p = jax.nn.softmax(energy * scale, axis=-1)        # (H, L)
+        ds = p * (dp - jnp.sum(dp * p, axis=0, keepdims=True)) * scale
+        ds = jnp.where(mask_col, ds, 0.0)                         # mask VJP
+        ds_full = jnp.dot(ds, mask_hd,
+                          preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)     # (L, D)
+        dq_ref[i, :] = jnp.sum(ds_full * k, axis=0)
+        dk_flat = ds_full * q_row                                 # (L, D)
 
-        dv_rows = jnp.einsum("hl,hd->lhd", p, gout)
-        dp = jnp.einsum("hd,lhd->hl", gout, v)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-        ds = jnp.where(mask[None, :], ds, 0.0)             # masked-fill VJP
-        dq = jnp.einsum("hl,lhd->hd", ds, k)
-        dk_rows = jnp.einsum("hl,hd->lhd", ds, q)
-
-        dq_ref[i] = dq.reshape(D)
-        dk_flat = dk_rows.reshape(L, D)
-        dv_flat = dv_rows.reshape(L, D)
-
-        # valid rows -> timeline grads (read-modify-write, sequential-safe)
+        # valid rows -> timeline grads: scatter into superset-window layout
+        # via sel_t^T (places row j at delta + j, zeroing invalid rows),
+        # then RMW at the 8-aligned start (sequential-grid safe).
+        dk_sup = jnp.dot(sel_t.T, dk_flat, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        dv_sup = jnp.dot(sel_t.T, dv_flat, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
         rd_k = pltpu.make_async_copy(
-            dtk_ref.at[w, pl.ds(st, L)], dk_acc, sems.at[0])
+            dtk_ref.at[w, pl.ds(st, Lp)], dk_acc, sems.at[0])
         rd_v = pltpu.make_async_copy(
-            dtv_ref.at[w, pl.ds(st, L)], dv_acc, sems.at[1])
+            dtv_ref.at[w, pl.ds(st, Lp)], dv_acc, sems.at[1])
         rd_k.start()
         rd_v.start()
         rd_k.wait()
         rd_v.wait()
-        dk_acc[:] = dk_acc[:] + jnp.where(valid, dk_flat, 0.0)
-        dv_acc[:] = dv_acc[:] + jnp.where(valid, dv_flat, 0.0)
+        dk_acc[:] = dk_acc[:] + dk_sup
+        dv_acc[:] = dv_acc[:] + dv_sup
         wr_k = pltpu.make_async_copy(
-            dk_acc, dtk_ref.at[w, pl.ds(st, L)], sems.at[0])
+            dk_acc, dtk_ref.at[w, pl.ds(st, Lp)], sems.at[0])
         wr_v = pltpu.make_async_copy(
-            dv_acc, dtv_ref.at[w, pl.ds(st, L)], sems.at[1])
+            dv_acc, dtv_ref.at[w, pl.ds(st, Lp)], sems.at[1])
         wr_k.start()
         wr_v.start()
         wr_k.wait()
         wr_v.wait()
 
-        # invalid rows -> PE-table grads (VMEM accumulators)
-        pk = dpk_acc[pl.ds(slo, L), :]
-        pv = dpv_acc[pl.ds(slo, L), :]
-        dpk_acc[pl.ds(slo, L), :] = pk + jnp.where(valid, 0.0, dk_flat)
-        dpv_acc[pl.ds(slo, L), :] = pv + jnp.where(valid, 0.0, dv_flat)
+        # invalid rows -> PE-table grads via sel_p^T (full-table VMEM adds,
+        # no unaligned slicing).
+        dpk_acc[:] = dpk_acc[:] + jnp.dot(
+            sel_p.T, dk_flat, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        dpv_acc[:] = dpv_acc[:] + jnp.dot(
+            sel_p.T, dv_flat, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
 
     @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
     def _():
@@ -247,14 +367,18 @@ def _pallas_backward(q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start,
                      n_valid, s_lo, mask, g, num_heads: int, tile: int = 8):
     B, D = q.shape
     L = mask.shape[1]
+    Lp = _lp(L)
     P = pe_k.shape[0]
     TB = tile
     while B % TB != 0:
         TB //= 2
-    dtk_init = jnp.zeros_like(timeline_k)
-    dtv_init = jnp.zeros_like(timeline_v)
+    tk_p, tv_p = _pad_timelines(timeline_k, timeline_v)
+    st8 = start // 8
+    delta = start - st8 * 8
+    dtk_init = jnp.zeros_like(tk_p)
+    dtv_init = jnp.zeros_like(tv_p)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(B // TB,),
         in_specs=[
             pl.BlockSpec((TB, D), lambda i, *_: (i, 0),
@@ -279,35 +403,36 @@ def _pallas_backward(q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start,
             pl.BlockSpec(memory_space=pltpu.VMEM),   # dpe_v
         ),
         scratch_shapes=[
-            pltpu.VMEM((L, D), jnp.float32),         # kb
-            pltpu.VMEM((L, D), jnp.float32),         # vb
-            pltpu.VMEM((L, D), jnp.float32),         # dk rmw buffer
-            pltpu.VMEM((L, D), jnp.float32),         # dv rmw buffer
+            pltpu.VMEM((Lp, D), jnp.float32),        # kb
+            pltpu.VMEM((Lp, D), jnp.float32),        # vb
+            pltpu.VMEM((Lp, D), jnp.float32),        # dk rmw buffer
+            pltpu.VMEM((Lp, D), jnp.float32),        # dv rmw buffer
             pltpu.VMEM((P, D), jnp.float32),         # dpe_k accumulator
             pltpu.VMEM((P, D), jnp.float32),         # dpe_v accumulator
             pltpu.SemaphoreType.DMA((2,)),
         ])
     kernel = functools.partial(
-        _bwd_kernel, TB=TB, L=L, num_heads=num_heads, embed_dim=D)
+        _bwd_kernel, TB=TB, L=L, Lp=Lp, num_heads=num_heads, embed_dim=D)
     dq, dtk, dtv, dpk, dpv = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, D), jnp.float32),
-            jax.ShapeDtypeStruct(timeline_k.shape, jnp.float32),
-            jax.ShapeDtypeStruct(timeline_v.shape, jnp.float32),
+            jax.ShapeDtypeStruct(tk_p.shape, jnp.float32),
+            jax.ShapeDtypeStruct(tv_p.shape, jnp.float32),
             jax.ShapeDtypeStruct((P, D), jnp.float32),
             jax.ShapeDtypeStruct((P, D), jnp.float32),
         ),
-        input_output_aliases={11: 1, 12: 2},  # dtk/dtv accumulate in place
+        input_output_aliases={12: 1, 13: 2},  # dtk/dtv accumulate in place
         interpret=jax.default_backend() != "tpu",
-    )(w_idx, start, n_valid, s_lo, q, g, mask, pe_k, pe_v,
-      timeline_k, timeline_v, dtk_init, dtv_init)
-    return dq, dtk, dtv, dpk, dpv
+    )(w_idx, st8, delta, n_valid, s_lo, q, g, mask, pe_k, pe_v,
+      tk_p, tv_p, dtk_init, dtv_init)
+    S = timeline_k.shape[1]
+    return dq, dtk[:, :S], dtv[:, :S], dpk, dpv
 
 
 # Module-level switch: "xla" (default, battle-tested) or "pallas" (fully
-# fused read-modify-write accumulation; validated in interpret mode).
+# fused read-modify-write accumulation).
 BACKWARD_MODE = "xla"
 
 
@@ -331,7 +456,7 @@ def _fwd(q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start, n_valid, s_lo,
 def _bwd(num_heads, residuals, g):
     (q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start, n_valid, s_lo,
      mask) = residuals
-    if BACKWARD_MODE == "pallas":
+    if BACKWARD_MODE == "pallas" and _supported_on_tpu(q.shape[1]):
         dq, dtk, dtv, dpk, dpv = _pallas_backward(
             q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start, n_valid,
             s_lo, mask, g, num_heads)
