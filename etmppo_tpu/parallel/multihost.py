@@ -28,3 +28,26 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
 
 def is_primary_host() -> bool:
     return jax.process_index() == 0
+
+
+def global_worker_array(local_data, mesh) -> jax.Array:
+    """Assemble a GLOBAL worker-sharded array from each host's local shard.
+
+    ``local_data`` is this host's slice of the worker-leading axis (numpy or
+    device array); the returned global array has leading size
+    ``local * num_processes`` and is sharded over the mesh's data axis.  This
+    is the multi-host analogue of ``mesh.shard_worker_tree``: on one process
+    the two are identical, across processes each host contributes only the
+    worker rows its devices own (host-env feeding, SURVEY.md §5 DCN notes).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.make_array_from_process_local_data(sharding, local_data)
+
+
+def local_worker_range(n_workers_global: int) -> range:
+    """The contiguous block of global worker indices this host feeds."""
+    per = n_workers_global // jax.process_count()
+    lo = jax.process_index() * per
+    return range(lo, lo + per)
