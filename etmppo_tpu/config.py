@@ -98,6 +98,10 @@ class TrainConfig:
     compute_dtype: str = "float32"
     # Use the Pallas fused window-attention kernel where applicable.
     use_pallas_attention: bool = False
+    # Run the fully-fused Pallas backward kernel too (vs deriving grads
+    # through the XLA formulation). Validated on v5e: ~3x faster backward at
+    # embed_dim 384 scales; requires use_pallas_attention.
+    pallas_backward: bool = False
     # Checkpointing (reference only saves the final model, trainer.py:356-362).
     checkpoint_interval: int = 0  # 0 = final only
     checkpoint_dir: str = "./models"
@@ -166,7 +170,7 @@ def config_from_dict(raw: Dict[str, Any]) -> TrainConfig:
     for name in ("compute_dtype", "checkpoint_dir", "summary_dir"):
         if name in raw:
             kwargs[name] = str(raw[name])
-    for name in ("use_pallas_attention", "obs_uint8"):
+    for name in ("use_pallas_attention", "pallas_backward", "obs_uint8"):
         if name in raw:
             kwargs[name] = bool(raw[name])
     for name in ("learning_rate_schedule", "beta_schedule", "clip_range_schedule"):

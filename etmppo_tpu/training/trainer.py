@@ -34,6 +34,11 @@ class PPOTrainer:
         self.config = config
         self.run_id = run_id
 
+        if config.pallas_backward:
+            # Module-level switch read at trace time by the custom VJP.
+            from ..ops import pallas_window_attention as pwa
+            pwa.BACKWARD_MODE = "pallas"
+
         # Environment (vmapped pure-JAX env — replaces the reference's dummy
         # probe env + N worker processes, trainer.py:44-49, 63).
         self.env = create_env(config.environment)
