@@ -111,6 +111,10 @@ class TrainConfig:
     # Updates fused into one device program (lax.scan over updates); 1 =
     # launch-per-update like the reference. Higher amortizes dispatch latency.
     updates_per_launch: int = 8
+    # Host-env rollout pipeline groups: workers split into G groups so one
+    # group's Python env stepping overlaps the other groups' device compute
+    # (1 = serial). Raise when host envs dominate the rollout wall-clock.
+    host_pipeline_groups: int = 2
     # Store rollout observations as uint8 (x255) in the training batch —
     # 4x less HBM for image envs at <=0.4% quantization error. Off by default
     # for exact reference parity.
@@ -164,7 +168,7 @@ def config_from_dict(raw: Dict[str, Any]) -> TrainConfig:
             kwargs[name] = float(raw[name])
     for name in ("updates", "epochs", "n_workers", "worker_steps", "n_mini_batch",
                  "hidden_layer_size", "seed", "checkpoint_interval", "num_devices",
-                 "updates_per_launch"):
+                 "updates_per_launch", "host_pipeline_groups"):
         if name in raw:
             kwargs[name] = int(raw[name])
     for name in ("compute_dtype", "checkpoint_dir", "summary_dir"):

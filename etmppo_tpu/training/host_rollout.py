@@ -35,10 +35,12 @@ class HostRolloutState(NamedTuple):
 
 
 class HostRolloutFn:
-    """``pipeline=True`` (default) splits workers into two groups and
-    overlaps one group's host env stepping with the other group's device
-    policy compute (JAX async dispatch is the future mechanism) — the
-    device never waits for Python envs unless they are the bottleneck."""
+    """``pipeline=True`` (default) splits workers into
+    ``config.host_pipeline_groups`` groups and overlaps each group's host env
+    stepping with the other groups' device policy compute (JAX async dispatch
+    is the future mechanism) — the device never waits for Python envs unless
+    they are the bottleneck.  More groups buy each device dispatch G-1 host
+    env steps of overlap at the cost of smaller per-dispatch batches."""
 
     def __init__(self, config: TrainConfig, env: HostEnvBatch,
                  model: ActorCriticModel, pipeline: bool = True):
@@ -50,8 +52,11 @@ class HostRolloutFn:
         self.mask_table = jnp.asarray(build_memory_mask(trx.memory_length))
         self.index_table = jnp.asarray(
             build_memory_indices(self.max_ep, trx.memory_length))
-        self.n_groups = 2 if (pipeline and config.n_workers % 2 == 0
-                              and hasattr(env, "step_group")) else 1
+        groups = max(1, config.host_pipeline_groups) if pipeline else 1
+        while groups > 1 and config.n_workers % groups != 0:
+            groups -= 1
+        self.n_groups = groups if (groups > 1
+                                   and hasattr(env, "step_group")) else 1
         self._project = jax.jit(self._project_memory)
         self._policy_step = jax.jit(self._policy_step_impl)
         self._finish = jax.jit(self._finish_impl)
@@ -195,14 +200,17 @@ class HostRolloutFn:
             for t in range(T):
                 env_step(0, t, launch(0, t))
         else:
-            # software pipeline: device(A) overlaps host(B) and vice versa
-            pending = launch(0, 0)
+            # Software pipeline (G-stage rotation): group g's device dispatch
+            # for step t happens right after its host env step at t-1, so by
+            # the time env_step(g, t) syncs on the actions, the other G-1
+            # groups' host env stepping has covered the device latency.
+            pending = [launch(g, 0) for g in range(G)]
             for t in range(T):
-                outs_b = launch(1, t)
-                env_step(0, t, pending)      # host A while device B runs
-                if t + 1 < T:
-                    pending = launch(0, t + 1)
-                env_step(1, t, outs_b)       # host B while device A runs
+                for g in range(G):
+                    outs = pending[g]
+                    env_step(g, t, outs)
+                    if t + 1 < T:
+                        pending[g] = launch(g, t + 1)
 
         # merge group carries back into full-worker arrays
         episode_step = jnp.concatenate([c[0] for c in carries])

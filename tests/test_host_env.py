@@ -195,10 +195,11 @@ def test_host_rollout_matches_device_rollout():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_pipelined_matches_serial_host_rollout():
-    """Two-group pipelined scheduling must produce identical batches to the
+@pytest.mark.parametrize("groups", [2, 4])
+def test_pipelined_matches_serial_host_rollout(groups):
+    """G-group pipelined scheduling must produce identical batches to the
     serial host path on deterministic (action-independent) dynamics."""
-    cfg = _cfg()
+    cfg = dataclasses.replace(_cfg(), host_pipeline_groups=groups)
     model_env = HostEnvBatch(make_env=MockPyEnv, n_procs=2)
     from etmppo_tpu.models.actor_critic import ActorCriticModel
     model = ActorCriticModel(
@@ -216,7 +217,7 @@ def test_pipelined_matches_serial_host_rollout():
 
     pipe_env = HostEnvBatch(make_env=MockPyEnv, n_procs=2)
     pipe_fn = HostRolloutFn(cfg, pipe_env, model, pipeline=True)
-    assert pipe_fn.n_groups == 2
+    assert pipe_fn.n_groups == groups
     p_state = pipe_fn.init_state(jax.random.PRNGKey(1))
     p_state, p_batch = pipe_fn(params, p_state)
     pipe_env.close()
