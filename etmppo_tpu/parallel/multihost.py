@@ -48,6 +48,12 @@ def global_worker_array(local_data, mesh) -> jax.Array:
 
 def local_worker_range(n_workers_global: int) -> range:
     """The contiguous block of global worker indices this host feeds."""
-    per = n_workers_global // jax.process_count()
+    n_proc = jax.process_count()
+    assert n_workers_global % n_proc == 0, (
+        f"n_workers={n_workers_global} must be divisible by the number of "
+        f"hosts ({n_proc}); otherwise the trailing "
+        f"{n_workers_global % n_proc} workers would never be fed and the "
+        f"assembled global array would be smaller than n_workers.")
+    per = n_workers_global // n_proc
     lo = jax.process_index() * per
     return range(lo, lo + per)

@@ -34,10 +34,19 @@ class PPOTrainer:
         self.config = config
         self.run_id = run_id
 
-        if config.pallas_backward:
-            # Module-level switch read at trace time by the custom VJP.
-            from ..ops import pallas_window_attention as pwa
-            pwa.BACKWARD_MODE = "pallas"
+        # Module-level switch read at trace time by the custom VJP.  Set it
+        # explicitly on EVERY init (not just when enabling) so a later trainer
+        # in the same process with pallas_backward=False doesn't inherit a
+        # previous trainer's "pallas" mode.
+        from ..ops import pallas_window_attention as pwa
+        if config.pallas_backward and not config.use_pallas_attention:
+            import warnings
+            warnings.warn(
+                "pallas_backward=True has no effect without "
+                "use_pallas_attention=True; the XLA attention path is used.")
+        pwa.BACKWARD_MODE = (
+            "pallas" if (config.pallas_backward and config.use_pallas_attention)
+            else "xla")
 
         # Environment (vmapped pure-JAX env — replaces the reference's dummy
         # probe env + N worker processes, trainer.py:44-49, 63).
