@@ -99,8 +99,9 @@ class TrainConfig:
     # Use the Pallas fused window-attention kernel where applicable.
     use_pallas_attention: bool = False
     # Run the fully-fused Pallas backward kernel too (vs deriving grads
-    # through the XLA formulation). Validated on v5e: ~3x faster backward at
-    # embed_dim 384 scales; requires use_pallas_attention.
+    # through the XLA formulation). Validated on v5e at the shipped config
+    # scales (embed_dim 256 and 384 — see BENCHMARKS.md kernel table):
+    # ~2.7-3.3x faster than the XLA VJP; requires use_pallas_attention.
     pallas_backward: bool = False
     # Checkpointing (reference only saves the final model, trainer.py:356-362).
     checkpoint_interval: int = 0  # 0 = final only
