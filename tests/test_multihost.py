@@ -54,3 +54,12 @@ def test_two_process_distributed_mesh():
     # every host sees the same globally-reduced values
     assert by_proc[0]["total"] == by_proc[1]["total"]
     assert by_proc[0]["mean_sq"] == by_proc[1]["mean_sq"]
+
+
+def test_local_worker_range_divisibility_assert():
+    """Non-divisible n_workers must fail loudly, not silently starve workers
+    (single-process: process_count() == 1 accepts everything; the assert
+    message itself is what we pin here)."""
+    from etmppo_tpu.parallel.multihost import local_worker_range
+    r = local_worker_range(16)
+    assert list(r) == list(range(16))

@@ -173,3 +173,41 @@ def test_pallas_backward_all_masked_row():
     for gx, gp in zip(grads_xla, grads_pallas):
         np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_trainer_resets_backward_mode(tmp_path):
+    """A trainer with pallas_backward=False must force BACKWARD_MODE back to
+    'xla' even if a previous trainer in the same process set 'pallas'
+    (advisor finding r1)."""
+    import dataclasses
+    import warnings
+    from etmppo_tpu.config import load_config
+    from etmppo_tpu.ops import pallas_window_attention as pwa
+    from etmppo_tpu.training.trainer import PPOTrainer
+
+    base = load_config("etmppo_tpu/configs/poc_memory_env.yaml")
+    base = dataclasses.replace(
+        base, n_workers=2, worker_steps=4, n_mini_batch=1, epochs=1,
+        hidden_layer_size=8, updates=1, checkpoint_dir=str(tmp_path),
+        summary_dir=str(tmp_path),
+        transformer=dataclasses.replace(
+            base.transformer, num_blocks=1, embed_dim=8, num_heads=1,
+            memory_length=4))
+
+    old = pwa.BACKWARD_MODE
+    try:
+        cfg_on = dataclasses.replace(
+            base, use_pallas_attention=True, pallas_backward=True)
+        PPOTrainer(cfg_on, run_id="t1", enable_metrics=False)
+        assert pwa.BACKWARD_MODE == "pallas"
+        PPOTrainer(base, run_id="t2", enable_metrics=False)
+        assert pwa.BACKWARD_MODE == "xla"
+        # pallas_backward without use_pallas_attention: warns, stays xla.
+        cfg_warn = dataclasses.replace(base, pallas_backward=True)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            PPOTrainer(cfg_warn, run_id="t3", enable_metrics=False)
+        assert pwa.BACKWARD_MODE == "xla"
+        assert any("pallas_backward" in str(x.message) for x in w)
+    finally:
+        pwa.BACKWARD_MODE = old
