@@ -68,6 +68,10 @@ def train_main(argv=None):
                 result = trainer.run_training()
             print(f"env steps/s: "
                   f"{result.get('env_steps_per_second', 0.0):,.0f}")
+            if "env_steps_per_second_steady" in result:
+                print(f"env steps/s (steady-state, excl. first-launch "
+                      f"compile): "
+                      f"{result['env_steps_per_second_steady']:,.0f}")
             seed_results.append(result)
         finally:
             trainer.close()

@@ -203,6 +203,11 @@ class PPOTrainer:
         result: Dict[str, float] = {}
         start = time.perf_counter()
         start_update = self.update  # may be > 0 after a checkpoint resume
+        # The first launch includes XLA compilation; track it separately so a
+        # steady-state env-steps/s (what long-budget wall-clock follows) can
+        # be reported alongside the all-inclusive number.
+        first_launch_end = 0.0
+        first_launch_updates = 0
         while self.update < cfg.updates:
             remaining = cfg.updates - self.update
             if cfg.updates_per_launch > 1 and self.fused_loop is not None:
@@ -214,6 +219,9 @@ class PPOTrainer:
                 results = self.train_chunk(k)
             else:
                 results = [self.train_one_update()]
+            if first_launch_updates == 0:
+                first_launch_end = time.perf_counter()
+                first_launch_updates = self.update - start_update
             for i, result in enumerate(results):
                 update = self.update - len(results) + i
                 if print_every and update % print_every == 0:
@@ -222,8 +230,15 @@ class PPOTrainer:
                     and self.update % cfg.checkpoint_interval == 0):
                 self._save_checkpoint()
         elapsed = time.perf_counter() - start
-        total_steps = (cfg.updates - start_update) * self.env_steps_per_update
+        total_updates = cfg.updates - start_update
+        total_steps = total_updates * self.env_steps_per_update
         result["env_steps_per_second"] = total_steps / max(elapsed, 1e-9)
+        if total_updates > first_launch_updates > 0:
+            steady_steps = ((total_updates - first_launch_updates)
+                            * self.env_steps_per_update)
+            steady_elapsed = elapsed - (first_launch_end - start)
+            result["env_steps_per_second_steady"] = (
+                steady_steps / max(steady_elapsed, 1e-9))
         self._save_model()
         return result
 
