@@ -431,9 +431,329 @@ def _pallas_backward(q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start,
     return dq, dtk[:, :S], dtv[:, :S], dpk, dpv
 
 
+# --- Grouped (sorted-by-worker) kernels ------------------------------------
+#
+# The per-sample kernels above pay 2 (fwd) / 6 (bwd) HBM DMA round trips per
+# sample; with B=2048 minibatches that latency dominates (the kernels run at
+# ~10-25% of speed-of-light).  The grouped variants sort the minibatch by
+# worker index (a stable argsort outside the kernel; outputs are scattered
+# back), so each worker's K/V *timeline* is DMA'd from HBM into VMEM exactly
+# once per kernel invocation (W total loads instead of B), window reads become
+# VMEM-local dynamic slices at provably-8-aligned offsets, and the backward's
+# dK/dV accumulate into VMEM-resident per-worker buffers flushed to HBM once
+# per worker (write-only — sorted runs are contiguous, so no RMW).
+# VMEM budget at the largest shipped scale (MortarMayhem: Sp=1158, D=384):
+# 2 timelines + 2 grad accumulators ~= 7.1 MB + PE tables/accs ~= 3 MB.
+
+
+def _grouped_kernel(w_ref, st8_ref, delta_ref, n_ref, slo_ref,  # prefetch
+                    q_ref, mask_ref, pe_k_ref, pe_v_ref,        # VMEM
+                    tk_ref, tv_ref,                             # HBM
+                    out_ref,                                    # VMEM
+                    tl_k, tl_v, cur_ref, sems,                  # scratch
+                    *, TB: int, L: int, Lp: int, num_heads: int,
+                    embed_dim: int):
+    i0 = pl.program_id(0) * TB
+    D = embed_dim
+    P = pe_k_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cur_ref[0] = -1
+
+    mask_dh, mask_hd = _head_masks(D, num_heads)
+    for i in range(TB):
+        w = w_ref[i0 + i]
+
+        @pl.when(w != cur_ref[0])
+        def _():
+            k_dma = pltpu.make_async_copy(tk_ref.at[w], tl_k, sems.at[0])
+            v_dma = pltpu.make_async_copy(tv_ref.at[w], tl_v, sems.at[1])
+            k_dma.start()
+            v_dma.start()
+            k_dma.wait()
+            v_dma.wait()
+            cur_ref[0] = w
+
+        st = st8_ref[i0 + i] * 8
+        kb = tl_k[pl.ds(st, Lp)]
+        vb = tl_v[pl.ds(st, Lp)]
+        sel_t, sel_p = _selection_mats(
+            L, Lp, P, delta_ref[i0 + i], n_ref[i0 + i], slo_ref[i0 + i])
+        k = (jnp.dot(sel_t, kb, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+             + jnp.dot(sel_p, pe_k_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST))
+        v = (jnp.dot(sel_t, vb, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+             + jnp.dot(sel_p, pe_v_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST))
+
+        mask_col = mask_ref[i, :].astype(jnp.int32).reshape(L, 1) != 0
+        q_row = q_ref[i, :].reshape(1, D)
+        qbd = mask_dh * q_row.reshape(D, 1)
+        energy = jnp.dot(k, qbd, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        p = _softmax_lh(energy, mask_col, D)
+        p_full = jnp.dot(p, mask_hd, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        out_ref[i, :] = jnp.sum(p_full * v, axis=0)
+
+
+def _grouped_bwd_kernel(w_ref, st8_ref, delta_ref, n_ref, slo_ref,
+                        q_ref, g_ref, mask_ref, pe_k_ref, pe_v_ref,
+                        tk_ref, tv_ref,                    # HBM timelines
+                        dtk_in_ref, dtv_in_ref,            # aliased outputs
+                        dq_ref, dtk_ref, dtv_ref, dpk_out, dpv_out,
+                        tl_k, tl_v, acc_dk, acc_dv, dpk_acc, dpv_acc,
+                        cur_ref, sems,
+                        *, TB: int, L: int, Lp: int, num_heads: int,
+                        embed_dim: int):
+    """Grouped backward: per-worker VMEM grad accumulation, one write-only
+    flush per worker (sorted runs are contiguous; the sequential TPU grid
+    makes flush-before-next-load race-free)."""
+    del dtk_in_ref, dtv_in_ref
+    i0 = pl.program_id(0) * TB
+    D = embed_dim
+    P = pe_k_ref.shape[0]
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        cur_ref[0] = -1
+        dpk_acc[:] = jnp.zeros_like(dpk_acc)
+        dpv_acc[:] = jnp.zeros_like(dpv_acc)
+
+    def flush():
+        wr_k = pltpu.make_async_copy(
+            acc_dk, dtk_ref.at[cur_ref[0]], sems.at[0])
+        wr_v = pltpu.make_async_copy(
+            acc_dv, dtv_ref.at[cur_ref[0]], sems.at[1])
+        wr_k.start()
+        wr_v.start()
+        wr_k.wait()
+        wr_v.wait()
+
+    mask_dh, mask_hd = _head_masks(D, num_heads)
+    for i in range(TB):
+        w = w_ref[i0 + i]
+
+        @pl.when(w != cur_ref[0])
+        def _():
+            @pl.when(cur_ref[0] >= 0)
+            def _():
+                flush()
+            k_dma = pltpu.make_async_copy(tk_ref.at[w], tl_k, sems.at[0])
+            v_dma = pltpu.make_async_copy(tv_ref.at[w], tl_v, sems.at[1])
+            k_dma.start()
+            v_dma.start()
+            k_dma.wait()
+            v_dma.wait()
+            acc_dk[:] = jnp.zeros_like(acc_dk)
+            acc_dv[:] = jnp.zeros_like(acc_dv)
+            cur_ref[0] = w
+
+        st = st8_ref[i0 + i] * 8
+        kb = tl_k[pl.ds(st, Lp)]
+        vb = tl_v[pl.ds(st, Lp)]
+        sel_t, sel_p = _selection_mats(
+            L, Lp, P, delta_ref[i0 + i], n_ref[i0 + i], slo_ref[i0 + i])
+        k = (jnp.dot(sel_t, kb, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+             + jnp.dot(sel_p, pe_k_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST))
+        v = (jnp.dot(sel_t, vb, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+             + jnp.dot(sel_p, pe_v_ref[:], preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST))
+
+        q_row = q_ref[i, :].reshape(1, D)
+        g_row = g_ref[i, :].reshape(1, D)
+        mask_col = mask_ref[i, :].astype(jnp.int32).reshape(L, 1) != 0
+        qbd = mask_dh * q_row.reshape(D, 1)
+        energy = jnp.dot(k, qbd, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        p = _softmax_lh(energy, mask_col, D)
+
+        p_full = jnp.dot(p, mask_hd, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        dv_flat = p_full * g_row
+        dp = jnp.dot(v * g_row, mask_dh, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+        scale = 1.0 / np.sqrt(D)
+        ds = p * (dp - jnp.sum(dp * p, axis=0, keepdims=True)) * scale
+        ds = jnp.where(mask_col, ds, 0.0)
+        ds_full = jnp.dot(ds, mask_hd, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+        dq_ref[i, :] = jnp.sum(ds_full * k, axis=0)
+        dk_flat = ds_full * q_row
+
+        dk_sup = jnp.dot(sel_t.T, dk_flat, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        dv_sup = jnp.dot(sel_t.T, dv_flat, preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        acc_dk[pl.ds(st, Lp)] = acc_dk[pl.ds(st, Lp)] + dk_sup
+        acc_dv[pl.ds(st, Lp)] = acc_dv[pl.ds(st, Lp)] + dv_sup
+
+        dpk_acc[:] = dpk_acc[:] + jnp.dot(
+            sel_p.T, dk_flat, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+        dpv_acc[:] = dpv_acc[:] + jnp.dot(
+            sel_p.T, dv_flat, preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
+
+    @pl.when(pl.program_id(0) == pl.num_programs(0) - 1)
+    def _():
+        flush()
+        dpk_out[:] = dpk_acc[:]
+        dpv_out[:] = dpv_acc[:]
+
+
+def _sorted_by_worker(w_idx, *arrays):
+    order = jnp.argsort(w_idx, stable=True).astype(jnp.int32)
+    return order, [a[order] for a in arrays]
+
+
+def _pallas_forward_grouped(q, timeline_k, timeline_v, pe_k, pe_v, w_idx,
+                            start, n_valid, s_lo, mask, num_heads: int,
+                            tile: int = 8):
+    B, D = q.shape
+    L = mask.shape[1]
+    Lp = _lp(L)
+    TB = tile
+    while B % TB != 0:
+        TB //= 2
+    tk_p, tv_p = _pad_timelines(timeline_k, timeline_v)
+    Sp = tk_p.shape[1]
+    order, (w_s, start_s, n_s, slo_s, q_s, mask_s) = _sorted_by_worker(
+        w_idx, w_idx, start, n_valid, s_lo, q, mask)
+    st8 = start_s // 8
+    delta = start_s - st8 * 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, D), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),   # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # pe_k
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # pe_v
+            pl.BlockSpec(memory_space=pl.ANY),       # timeline_k
+            pl.BlockSpec(memory_space=pl.ANY),       # timeline_v
+        ],
+        out_specs=pl.BlockSpec((TB, D), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((Sp, D), jnp.float32),        # tl_k
+            pltpu.VMEM((Sp, D), jnp.float32),        # tl_v
+            pltpu.SMEM((1,), jnp.int32),             # cur worker
+            pltpu.SemaphoreType.DMA((2,)),
+        ])
+    kernel = functools.partial(
+        _grouped_kernel, TB=TB, L=L, Lp=Lp, num_heads=num_heads, embed_dim=D)
+    out_s = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, D), jnp.float32),
+        interpret=jax.default_backend() != "tpu",
+    )(w_s, st8, delta, n_s, slo_s, q_s, mask_s, pe_k, pe_v, tk_p, tv_p)
+    return jnp.zeros_like(out_s).at[order].set(out_s)
+
+
+def _pallas_backward_grouped(q, timeline_k, timeline_v, pe_k, pe_v, w_idx,
+                             start, n_valid, s_lo, mask, g, num_heads: int,
+                             tile: int = 8):
+    B, D = q.shape
+    L = mask.shape[1]
+    Lp = _lp(L)
+    P = pe_k.shape[0]
+    TB = tile
+    while B % TB != 0:
+        TB //= 2
+    tk_p, tv_p = _pad_timelines(timeline_k, timeline_v)
+    Sp = tk_p.shape[1]
+    order, (w_s, start_s, n_s, slo_s, q_s, mask_s, g_s) = _sorted_by_worker(
+        w_idx, w_idx, start, n_valid, s_lo, q, mask, g)
+    st8 = start_s // 8
+    delta = start_s - st8 * 8
+    dtk_init = jnp.zeros_like(tk_p)
+    dtv_init = jnp.zeros_like(tv_p)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(B // TB,),
+        in_specs=[
+            pl.BlockSpec((TB, D), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),   # q
+            pl.BlockSpec((TB, D), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),   # g
+            pl.BlockSpec((TB, L), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),   # mask
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # pe_k
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # pe_v
+            pl.BlockSpec(memory_space=pl.ANY),       # timeline_k
+            pl.BlockSpec(memory_space=pl.ANY),       # timeline_v
+            pl.BlockSpec(memory_space=pl.ANY),       # dtk (aliased out)
+            pl.BlockSpec(memory_space=pl.ANY),       # dtv (aliased out)
+        ],
+        out_specs=(
+            pl.BlockSpec((TB, D), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),   # dq
+            pl.BlockSpec(memory_space=pl.ANY),       # dtk
+            pl.BlockSpec(memory_space=pl.ANY),       # dtv
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # dpe_k
+            pl.BlockSpec(memory_space=pltpu.VMEM),   # dpe_v
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((Sp, D), jnp.float32),        # tl_k
+            pltpu.VMEM((Sp, D), jnp.float32),        # tl_v
+            pltpu.VMEM((Sp, D), jnp.float32),        # acc_dk
+            pltpu.VMEM((Sp, D), jnp.float32),        # acc_dv
+            pltpu.VMEM((P, D), jnp.float32),         # dpe_k accumulator
+            pltpu.VMEM((P, D), jnp.float32),         # dpe_v accumulator
+            pltpu.SMEM((1,), jnp.int32),             # cur worker
+            pltpu.SemaphoreType.DMA((2,)),
+        ])
+    kernel = functools.partial(
+        _grouped_bwd_kernel, TB=TB, L=L, Lp=Lp, num_heads=num_heads,
+        embed_dim=D)
+    dq_s, dtk, dtv, dpk, dpv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B, D), jnp.float32),
+            jax.ShapeDtypeStruct(tk_p.shape, jnp.float32),
+            jax.ShapeDtypeStruct(tv_p.shape, jnp.float32),
+            jax.ShapeDtypeStruct((P, D), jnp.float32),
+            jax.ShapeDtypeStruct((P, D), jnp.float32),
+        ),
+        input_output_aliases={12: 1, 13: 2},
+        interpret=jax.default_backend() != "tpu",
+    )(w_s, st8, delta, n_s, slo_s, q_s, g_s, mask_s, pe_k, pe_v,
+      tk_p, tv_p, dtk_init, dtv_init)
+    dq = jnp.zeros_like(dq_s).at[order].set(dq_s)
+    S = timeline_k.shape[1]
+    return dq, dtk[:, :S], dtv[:, :S], dpk, dpv
+
+
+# Use the grouped (sorted-by-worker, VMEM-timeline) kernels instead of the
+# per-sample-DMA kernels.  Semantics identical; flipped on after real-TPU
+# validation at the shipped config scales (benchmarks/pallas_kernel_bench.py).
+GROUPED_MODE = False
+
 # Module-level switch: "xla" (default, battle-tested) or "pallas" (fully
 # fused read-modify-write accumulation).
 BACKWARD_MODE = "xla"
+
+
+def _forward_dispatch(q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start,
+                      n_valid, s_lo, mask, num_heads):
+    if not _supported_on_tpu(q.shape[1]):
+        return xla_window_attention(q, timeline_k, timeline_v, pe_k, pe_v,
+                                    w_idx, start, n_valid, s_lo, mask,
+                                    num_heads)
+    impl = _pallas_forward_grouped if GROUPED_MODE else _pallas_forward
+    return impl(q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start,
+                n_valid, s_lo, mask, num_heads)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
@@ -441,14 +761,14 @@ def fused_window_attention(q, timeline_k, timeline_v, pe_k, pe_v, w_idx,
                            start, n_valid, s_lo, mask, num_heads):
     """q: (B, D) projected queries; timeline_k/v: (W, S, D); pe_k/v: (P, D);
     w_idx/start/n_valid/s_lo: (B,) int32; mask: (B, L) bool. -> (B, D)."""
-    return _pallas_forward(q, timeline_k, timeline_v, pe_k, pe_v, w_idx,
-                           start, n_valid, s_lo, mask, num_heads)
+    return _forward_dispatch(q, timeline_k, timeline_v, pe_k, pe_v, w_idx,
+                             start, n_valid, s_lo, mask, num_heads)
 
 
 def _fwd(q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start, n_valid, s_lo,
          mask, num_heads):
-    out = _pallas_forward(q, timeline_k, timeline_v, pe_k, pe_v, w_idx,
-                          start, n_valid, s_lo, mask, num_heads)
+    out = _forward_dispatch(q, timeline_k, timeline_v, pe_k, pe_v, w_idx,
+                            start, n_valid, s_lo, mask, num_heads)
     return out, (q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start,
                  n_valid, s_lo, mask)
 
@@ -457,7 +777,9 @@ def _bwd(num_heads, residuals, g):
     (q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start, n_valid, s_lo,
      mask) = residuals
     if BACKWARD_MODE == "pallas" and _supported_on_tpu(q.shape[1]):
-        dq, dtk, dtv, dpk, dpv = _pallas_backward(
+        bwd_impl = (_pallas_backward_grouped if GROUPED_MODE
+                    else _pallas_backward)
+        dq, dtk, dtv, dpk, dpv = bwd_impl(
             q, timeline_k, timeline_v, pe_k, pe_v, w_idx, start, n_valid,
             s_lo, mask, g, num_heads)
     else:

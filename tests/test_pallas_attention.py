@@ -211,3 +211,78 @@ def test_trainer_resets_backward_mode(tmp_path):
         assert any("pallas_backward" in str(x.message) for x in w)
     finally:
         pwa.BACKWARD_MODE = old
+
+
+def test_grouped_forward_matches_xla():
+    """Grouped (sorted-by-worker VMEM-timeline) forward == XLA formulation."""
+    from etmppo_tpu.ops import pallas_window_attention as pwa
+    args = _case(B=32, W=4, S=40, P=12, L=8, D=32, seed=11)
+    out_grouped = pwa._pallas_forward_grouped(*args, 4)
+    out_xla = pwa.xla_window_attention(*args, num_heads=4)
+    np.testing.assert_allclose(np.asarray(out_grouped), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_backward_matches_xla():
+    from etmppo_tpu.ops import pallas_window_attention as pwa
+    args = _case(B=24, W=3, S=30, P=12, L=8, D=32, seed=13)
+
+    def loss(q, tk, tv, pk, pv):
+        out = pwa.xla_window_attention(q, tk, tv, pk, pv, *args[5:],
+                                       num_heads=4)
+        return jnp.sum(jnp.sin(out))
+
+    grads_xla = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    g_out = jax.grad(lambda o: jnp.sum(jnp.sin(o)))(
+        pwa.xla_window_attention(*args, num_heads=4))
+    dq, dtk, dtv, dpk, dpv = pwa._pallas_backward_grouped(
+        *args, g_out, 4)
+    names = ("dq", "dtk", "dtv", "dpk", "dpv")
+    for name, gx, gp in zip(names, grads_xla, (dq, dtk, dtv, dpk, dpv)):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-5, err_msg=name)
+
+
+def test_grouped_mode_end_to_end_gradients():
+    """GROUPED_MODE=True through the public custom-vjp entry (fwd + bwd)."""
+    from etmppo_tpu.ops import pallas_window_attention as pwa
+    args = _case(B=16, W=3, S=30, P=12, L=8, D=32, seed=17)
+
+    def loss(q, tk, tv, pk, pv):
+        out = pwa.fused_window_attention(q, tk, tv, pk, pv, *args[5:], 4)
+        return jnp.sum(jnp.sin(out))
+
+    grads_ref = jax.grad(
+        lambda q, tk, tv, pk, pv: jnp.sum(jnp.sin(pwa.xla_window_attention(
+            q, tk, tv, pk, pv, *args[5:], num_heads=4))),
+        argnums=(0, 1, 2, 3, 4))(*args[:5])
+
+    old_g, old_b = pwa.GROUPED_MODE, pwa.BACKWARD_MODE
+    try:
+        pwa.GROUPED_MODE = True
+        pwa.BACKWARD_MODE = "pallas"
+        out = pwa.fused_window_attention(*args, 4)
+        grads = jax.grad(loss, argnums=(0, 1, 2, 3, 4))(*args[:5])
+    finally:
+        pwa.GROUPED_MODE, pwa.BACKWARD_MODE = old_g, old_b
+    out_xla = pwa.xla_window_attention(*args, num_heads=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-5)
+    for gx, gp in zip(grads_ref, grads):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gx),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_grouped_all_masked_row():
+    from etmppo_tpu.ops import pallas_window_attention as pwa
+    args = list(_case(B=16, W=3, S=30, P=12, L=8, D=32, seed=19))
+    mask = np.ones((16, args[9].shape[1]), bool)
+    mask[0, :] = False
+    mask[7, :] = False
+    args[9] = jnp.asarray(mask)
+    args = tuple(args)
+    out = pwa._pallas_forward_grouped(*args, 4)
+    out_xla = pwa.xla_window_attention(*args, num_heads=4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_xla),
+                               rtol=1e-5, atol=1e-6)
+    assert np.isfinite(np.asarray(out)).all()
