@@ -58,6 +58,8 @@ def main():
     ap.add_argument("--L", type=int, default=96)
     ap.add_argument("--D", type=int, default=256)
     ap.add_argument("--H", type=int, default=4)
+    ap.add_argument("--grouped", action="store_true",
+                    help="Also validate + time the grouped kernels")
     a = ap.parse_args()
     args = make_case(a.B, a.W, a.S, a.P, a.L, a.D)
     H = a.H
@@ -110,6 +112,42 @@ def main():
           f"speedup {t_fwd_x / t_fwd_p:.2f}x")
     print(f"bwd  pallas {t_bwd_p:7.2f} ms   xla {t_bwd_x:7.2f} ms   "
           f"speedup {t_bwd_x / t_bwd_p:.2f}x")
+
+    if a.grouped:
+        fwd_grouped = jax.jit(
+            lambda *xs: pwa._pallas_forward_grouped(*xs, H))
+        out_g = np.asarray(fwd_grouped(*args))
+        g_err = np.abs(out_g - out_x).max()
+        print(f"grouped fwd max abs err: {g_err:.3e}")
+        assert g_err < 1e-4, "GROUPED FORWARD PARITY FAILED"
+
+        old_g, old_b = pwa.GROUPED_MODE, pwa.BACKWARD_MODE
+        try:
+            pwa.GROUPED_MODE = True
+            pwa.BACKWARD_MODE = "pallas"
+            grad_grouped_fn = jax.jit(jax.grad(
+                lambda *xs: loss_fused(*xs), argnums=(0, 1, 2, 3, 4)))
+            grads_g = grad_grouped_fn(*args[:5])
+        finally:
+            pwa.GROUPED_MODE, pwa.BACKWARD_MODE = old_g, old_b
+        gb_err = max(np.abs(np.asarray(gg) - np.asarray(gx)).max()
+                     for gg, gx in zip(grads_g, grads_x))
+        print(f"grouped bwd max abs err: {gb_err:.3e}")
+        assert gb_err < 5e-4, "GROUPED BACKWARD PARITY FAILED"
+
+        t_fwd_g = timeit(fwd_grouped, *args)
+        try:
+            pwa.GROUPED_MODE = True
+            pwa.BACKWARD_MODE = "pallas"
+            t_bwd_g = timeit(grad_grouped_fn, *args[:5])
+        finally:
+            pwa.GROUPED_MODE, pwa.BACKWARD_MODE = old_g, old_b
+        print(f"fwd  grouped {t_fwd_g:7.2f} ms  vs per-sample {t_fwd_p:7.2f} "
+              f"ms ({t_fwd_p / t_fwd_g:.2f}x) vs xla {t_fwd_x:7.2f} ms "
+              f"({t_fwd_x / t_fwd_g:.2f}x)")
+        print(f"bwd  grouped {t_bwd_g:7.2f} ms  vs per-sample {t_bwd_p:7.2f} "
+              f"ms ({t_bwd_p / t_bwd_g:.2f}x) vs xla {t_bwd_x:7.2f} ms "
+              f"({t_bwd_x / t_bwd_g:.2f}x)")
 
 
 if __name__ == "__main__":
