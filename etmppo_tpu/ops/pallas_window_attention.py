@@ -736,8 +736,12 @@ def _pallas_backward_grouped(q, timeline_k, timeline_v, pe_k, pe_v, w_idx,
 
 
 # Use the grouped (sorted-by-worker, VMEM-timeline) kernels instead of the
-# per-sample-DMA kernels.  Semantics identical; flipped on after real-TPU
-# validation at the shipped config scales (benchmarks/pallas_kernel_bench.py).
+# per-sample-DMA kernels.  Semantics identical (parity-tested both modes).
+# Measured on v5e at the MysteryPath scale (B=2048, W=32, L=96, S=512, D=256):
+# grouped is only 1.01x fwd / 1.06x bwd over the per-sample kernels — the
+# per-sample DMAs already overlap enough to hide HBM latency — so the simpler
+# per-sample kernels stay the default.  Re-evaluate with
+# `python benchmarks/pallas_kernel_bench.py --grouped` if shapes change.
 GROUPED_MODE = False
 
 # Module-level switch: "xla" (default, battle-tested) or "pallas" (fully
