@@ -34,6 +34,10 @@ def train_main(argv=None):
                         help="Train N seeds sequentially (the reference's "
                              "5-seed evaluation protocol); models saved as "
                              "<run-id>_s<seed>.nn")
+    parser.add_argument("--updates", type=int, default=None,
+                        help="Override the config's update budget (e.g. a "
+                             "time-boxed partial run; resume later with "
+                             "--resume and the full budget)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -48,6 +52,8 @@ def train_main(argv=None):
     from .training.trainer import PPOTrainer
 
     base_config = load_config(args.config)
+    if args.updates is not None:
+        base_config = dataclasses.replace(base_config, updates=args.updates)
     seed_results = []
     for i in range(args.seeds):
         config = base_config if args.seeds == 1 else dataclasses.replace(
