@@ -1,0 +1,158 @@
+"""Batched policy serving: production inference for trained agents.
+
+No reference equivalent — the reference's only inference surface is the
+single-env ``enjoy.py`` loop (enjoy.py:60-93).  ``PolicyServer`` serves the
+same incremental-episodic-memory policy to **M concurrent streams** (player
+sessions, evaluation episodes, sim instances) with one jitted device program
+per step:
+
+* Per-stream episodic memory lives on device as **projected KV caches**
+  (models/transformer.py ``project_memory`` — each memory item is projected
+  once when written, the LLM-decoder pattern), so a serve step costs
+  O(memory_length) gather + attention instead of the reference's full
+  re-projection of every window slot (enjoy.py:69-76).
+* Static shapes: every step processes all M slots (TPU-friendly); inactive
+  slots compute but their state does not advance.  Batch M amortizes dispatch
+  latency across streams.
+* Streams are reset (episode boundaries / new sessions) with ``reset``; the
+  caches return to the PE-only projections, exactly like the trainer's
+  auto-reset (training/rollout.py).
+
+Typical use::
+
+    server = PolicyServer("models/run.nn", max_streams=64)
+    server.reset(range(64))
+    actions, values = server.step(obs_batch)            # (64, branches), (64,)
+    ...
+    server.reset(finished_ids)                          # episode boundaries
+"""
+from __future__ import annotations
+
+import functools
+from typing import Iterable, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .envs.factory import create_env
+from .models.actor_critic import ActorCriticModel
+from .ops import distributions
+from .ops.memory_index import build_memory_mask
+from .training.checkpoint import load_model
+
+
+class PolicyServer:
+    """Serves a trained policy to up to ``max_streams`` concurrent episode
+    streams.  ``greedy=True`` takes the mode of each action branch instead of
+    sampling (deterministic serving)."""
+
+    def __init__(self, model_path: str, max_streams: int = 64,
+                 greedy: bool = False, seed: int = 0):
+        params, config = load_model(model_path)
+        # Probe env for spaces only (reference dummy-env probe,
+        # trainer.py:44-49); pure-JAX envs construct without side effects.
+        env = create_env(config.environment)
+        self.config = config
+        self.max_streams = int(max_streams)
+        self.greedy = bool(greedy)
+        self.action_branches = env.action_branches
+        self.observation_shape = env.observation_shape
+        self.max_episode_steps = env.max_episode_steps
+
+        self.model = ActorCriticModel(
+            config=config, obs_shape=env.observation_shape,
+            action_branches=env.action_branches,
+            max_episode_steps=env.max_episode_steps)
+        self.params = params
+        trx = config.transformer
+        self._L = trx.memory_length
+        self._mask_table = jnp.asarray(build_memory_mask(self._L))
+
+        # PE-only projections = the projected value of unwritten slots; the
+        # reset state of every stream's cache (training/rollout.py:126-139).
+        self._pe_k, self._pe_v = self.model.apply(
+            params, method=type(self.model).pe_kv)
+        M = self.max_streams
+        self._k_cache = jnp.tile(self._pe_k[None], (M, 1, 1, 1))
+        self._v_cache = jnp.tile(self._pe_v[None], (M, 1, 1, 1))
+        self._t = jnp.zeros((M,), jnp.int32)
+        self._rng = jax.random.PRNGKey(seed)
+        self._step_fn = jax.jit(self._step_impl, donate_argnums=(1, 2, 3),
+                                static_argnums=(7,))
+
+    # ------------------------------------------------------------------
+
+    def _step_impl(self, params, k_cache, v_cache, t, obs, active, rng,
+                   greedy: bool):
+        M, L = self.max_streams, self._L
+        mask = self._mask_table[jnp.clip(t, 0, L - 1)]            # (M, L)
+        s_lo = jnp.maximum(t - (L - 1), 0)
+        slice_window = jax.vmap(
+            lambda cache, start: jax.lax.dynamic_slice_in_dim(
+                cache, start, L, axis=0))
+        k_win = slice_window(k_cache, s_lo)
+        v_win = slice_window(v_cache, s_lo)
+        logits, value, mem_item = self.model.apply(
+            params, obs, k_win, v_win, mask,
+            method=type(self.model).forward_with_kv)
+        k_item, v_item = self.model.apply(
+            params, mem_item, t, method=type(self.model).project_memory)
+        # Inactive slots keep their caches/counters (the write is masked).
+        act4 = active[:, None, None]
+        rows = jnp.arange(M)
+        k_cache = k_cache.at[rows, t].set(
+            jnp.where(act4, k_item, k_cache[rows, t]))
+        v_cache = v_cache.at[rows, t].set(
+            jnp.where(act4, v_item, v_cache[rows, t]))
+        t_next = jnp.where(
+            active, jnp.minimum(t + 1, self.max_episode_steps - 1), t)
+        if greedy:
+            actions = jnp.stack([jnp.argmax(l, axis=-1) for l in logits],
+                                axis=-1).astype(jnp.int32)
+        else:
+            actions, _ = distributions.sample_multi(rng, logits)
+        return k_cache, v_cache, t_next, actions, value
+
+    # ------------------------------------------------------------------
+
+    def reset(self, stream_ids: Iterable[int]) -> None:
+        """Marks streams as fresh episodes: zero episodic memory (= PE-only
+        projected caches) and step counter 0."""
+        ids = np.fromiter(stream_ids, dtype=np.int32)
+        if ids.size == 0:
+            return
+        ids_j = jnp.asarray(ids)
+        self._k_cache = self._k_cache.at[ids_j].set(self._pe_k)
+        self._v_cache = self._v_cache.at[ids_j].set(self._pe_v)
+        self._t = self._t.at[ids_j].set(0)
+
+    def step(self, obs, active: Optional[Sequence[bool]] = None
+             ) -> Tuple[np.ndarray, np.ndarray]:
+        """One policy step for all streams.
+
+        obs: (max_streams, *observation_shape); rows of inactive streams may
+        hold anything (they are computed but not committed).
+        active: optional bool mask (default: all active).
+        Returns (actions (M, n_branches) int32, values (M,) float32) as numpy.
+        """
+        obs = jnp.asarray(obs, jnp.float32)
+        if obs.shape != (self.max_streams,) + tuple(self.observation_shape):
+            raise ValueError(
+                f"obs must be {(self.max_streams,) + tuple(self.observation_shape)}, "
+                f"got {obs.shape}")
+        if active is None:
+            active_j = jnp.ones((self.max_streams,), bool)
+        else:
+            active_j = jnp.asarray(np.asarray(active, dtype=bool))
+        self._rng, step_rng = jax.random.split(self._rng)
+        (self._k_cache, self._v_cache, self._t, actions, values
+         ) = self._step_fn(self.params, self._k_cache, self._v_cache,
+                           self._t, obs, active_j, step_rng, self.greedy)
+        return np.asarray(actions), np.asarray(values)
+
+    @property
+    def steps(self) -> np.ndarray:
+        """Current episode-step counter per stream (host copy)."""
+        return np.asarray(self._t)

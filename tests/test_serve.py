@@ -1,0 +1,104 @@
+"""PolicyServer (etmppo_tpu/serve.py) must serve the exact policy: its
+KV-cache incremental steps must match the raw-memory reference formulation
+(enjoy.py:60-93 semantics) step for step."""
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from etmppo_tpu.config import load_config
+from etmppo_tpu.envs.factory import create_env
+from etmppo_tpu.models.actor_critic import ActorCriticModel
+from etmppo_tpu.ops.memory_index import build_memory_indices, build_memory_mask
+from etmppo_tpu.serve import PolicyServer
+from etmppo_tpu.training.checkpoint import save_model
+
+
+@pytest.fixture(scope="module")
+def tiny_model_path(tmp_path_factory):
+    cfg = load_config("etmppo_tpu/configs/poc_memory_env.yaml")
+    cfg = dataclasses.replace(
+        cfg, hidden_layer_size=16,
+        transformer=dataclasses.replace(
+            cfg.transformer, num_blocks=2, embed_dim=16, num_heads=2,
+            memory_length=6))
+    env = create_env(cfg.environment)
+    model = ActorCriticModel(
+        config=cfg, obs_shape=env.observation_shape,
+        action_branches=env.action_branches,
+        max_episode_steps=env.max_episode_steps)
+    params = model.init_params(jax.random.PRNGKey(0))
+    path = str(tmp_path_factory.mktemp("serve") / "tiny.nn")
+    save_model(path, params, cfg)
+    return path, cfg, model, params, env
+
+
+def test_serve_matches_raw_memory_path(tiny_model_path):
+    path, cfg, model, params, env = tiny_model_path
+    M, T = 3, 9
+    trx = cfg.transformer
+    L = trx.memory_length
+    max_ep = env.max_episode_steps
+    server = PolicyServer(path, max_streams=M, greedy=True, seed=0)
+    server.reset(range(M))
+
+    mask_table = np.asarray(build_memory_mask(L))
+    index_table = np.asarray(build_memory_indices(max_ep, L))
+
+    np_rng = np.random.default_rng(7)
+    memory = np.zeros((M, max_ep, trx.num_blocks, trx.embed_dim), np.float32)
+    for t in range(T):
+        obs = np_rng.normal(size=(M,) + tuple(env.observation_shape)
+                            ).astype(np.float32)
+        # Raw-memory reference formulation (enjoy.py incremental loop).
+        indices = np.tile(index_table[t][None], (M, 1))
+        mask = np.tile(mask_table[min(t, L - 1)][None], (M, 1))
+        window = np.take_along_axis(
+            memory, indices[:, :, None, None], axis=1)
+        logits, value_ref, mem_item = model.apply(
+            params, jnp.asarray(obs), jnp.asarray(window), jnp.asarray(mask),
+            jnp.asarray(indices))
+        memory[:, t] = np.asarray(mem_item)
+        actions_ref = np.stack(
+            [np.argmax(np.asarray(l), axis=-1) for l in logits], axis=-1)
+
+        actions, values = server.step(obs)
+        np.testing.assert_allclose(values, np.asarray(value_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(actions, actions_ref)
+    assert list(server.steps) == [T] * M
+
+
+def test_serve_reset_and_inactive_masking(tiny_model_path):
+    path, _, _, _, env = tiny_model_path
+    M = 4
+    server = PolicyServer(path, max_streams=M, greedy=True, seed=1)
+    server.reset(range(M))
+    obs = np.random.default_rng(0).normal(
+        size=(M,) + tuple(env.observation_shape)).astype(np.float32)
+
+    a_fresh, v_fresh = server.step(obs)
+    assert list(server.steps) == [1] * M
+
+    # Inactive streams neither advance nor mutate their memory.
+    active = np.array([True, False, True, False])
+    server.step(obs, active=active)
+    assert list(server.steps) == [2, 1, 2, 1]
+
+    # Reset returns a stream to the fresh-episode policy output exactly.
+    server.reset([0])
+    assert server.steps[0] == 0
+    a_again, v_again = server.step(obs, active=np.array([True, False, False,
+                                                         False]))
+    np.testing.assert_allclose(v_again[0], v_fresh[0], rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(a_again[0], a_fresh[0])
+
+
+def test_serve_rejects_bad_obs_shape(tiny_model_path):
+    path, _, _, _, env = tiny_model_path
+    server = PolicyServer(path, max_streams=2)
+    with pytest.raises(ValueError):
+        server.step(np.zeros((3,) + tuple(env.observation_shape), np.float32))
