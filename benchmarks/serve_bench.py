@@ -1,0 +1,55 @@
+"""Serving throughput: PolicyServer steps/s across M concurrent streams.
+
+    python benchmarks/serve_bench.py --model models/<run>.nn --streams 64
+
+Measures steady-state policy steps/s (one step = one action for every
+stream) and per-stream latency.  Compare --streams 1 vs 64 to see dispatch
+amortization; the per-step cost is dominated by dispatch latency until the
+batch fills the MXU.
+"""
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--greedy", action="store_true")
+    a = ap.parse_args()
+
+    import jax
+    from etmppo_tpu.serve import PolicyServer
+
+    server = PolicyServer(a.model, max_streams=a.streams, greedy=a.greedy)
+    server.reset(range(a.streams))
+    obs = np.random.default_rng(0).random(
+        (a.streams,) + tuple(server.observation_shape)).astype(np.float32)
+
+    server.step(obs)  # compile
+    # Reset so the timed window exercises normal in-episode steps.
+    server.reset(range(a.streams))
+    t0 = time.perf_counter()
+    for _ in range(a.steps):
+        actions, values = server.step(obs)
+        # Streams must reset before max_episode_steps; emulate episodic use.
+        if int(server.steps[0]) >= server.max_episode_steps - 1:
+            server.reset(range(a.streams))
+    elapsed = time.perf_counter() - t0
+    per_step_ms = elapsed / a.steps * 1e3
+    print(f"backend={jax.default_backend()} streams={a.streams} "
+          f"steps={a.steps}")
+    print(f"policy steps/s (x{a.streams} streams): "
+          f"{a.steps * a.streams / elapsed:,.0f}")
+    print(f"latency per batched step: {per_step_ms:.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
