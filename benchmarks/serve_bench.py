@@ -39,8 +39,9 @@ def main():
     t0 = time.perf_counter()
     for _ in range(a.steps):
         actions, values = server.step(obs)
-        # Streams must reset before max_episode_steps; emulate episodic use.
-        if int(server.steps[0]) >= server.max_episode_steps - 1:
+        # Streams must reset once their episode budget is spent (steps ==
+        # max_episode_steps); emulate episodic use.
+        if int(server.steps[0]) >= server.max_episode_steps:
             server.reset(range(a.streams))
     elapsed = time.perf_counter() - t0
     per_step_ms = elapsed / a.steps * 1e3

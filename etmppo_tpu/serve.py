@@ -28,7 +28,6 @@ Typical use::
 """
 from __future__ import annotations
 
-import functools
 from typing import Iterable, Optional, Sequence, Tuple
 
 import numpy as np
@@ -40,7 +39,7 @@ from .envs.factory import create_env
 from .models.actor_critic import ActorCriticModel
 from .ops import distributions
 from .ops.memory_index import build_memory_mask
-from .training.checkpoint import load_model
+from .training.checkpoint import load_model, read_model_config
 
 
 class PolicyServer:
@@ -50,7 +49,9 @@ class PolicyServer:
 
     def __init__(self, model_path: str, max_streams: int = 64,
                  greedy: bool = False, seed: int = 0):
-        params, config = load_model(model_path)
+        # Read the config first so env/model/params-template are built exactly
+        # once (load_model would otherwise reconstruct all three itself).
+        config = read_model_config(model_path)
         # Probe env for spaces only (reference dummy-env probe,
         # trainer.py:44-49); pure-JAX envs construct without side effects.
         env = create_env(config.environment)
@@ -65,7 +66,8 @@ class PolicyServer:
             config=config, obs_shape=env.observation_shape,
             action_branches=env.action_branches,
             max_episode_steps=env.max_episode_steps)
-        self.params = params
+        template = self.model.init_params(jax.random.PRNGKey(0))
+        self.params, _ = load_model(model_path, params_template=template)
         trx = config.transformer
         self._L = trx.memory_length
         self._mask_table = jnp.asarray(build_memory_mask(self._L))
@@ -73,7 +75,7 @@ class PolicyServer:
         # PE-only projections = the projected value of unwritten slots; the
         # reset state of every stream's cache (training/rollout.py:126-139).
         self._pe_k, self._pe_v = self.model.apply(
-            params, method=type(self.model).pe_kv)
+            self.params, method=type(self.model).pe_kv)
         M = self.max_streams
         self._k_cache = jnp.tile(self._pe_k[None], (M, 1, 1, 1))
         self._v_cache = jnp.tile(self._pe_v[None], (M, 1, 1, 1))
@@ -86,6 +88,10 @@ class PolicyServer:
 
     def _step_impl(self, params, k_cache, v_cache, t, obs, active, rng,
                    greedy: bool):
+        # Same KV-cache step math as training/rollout.py:_step (window slice
+        # at s_lo, mask-row lookup, forward_with_kv, project-once write) —
+        # kept provably identical by tests/test_serve.py's step-for-step
+        # comparison against the raw-memory reference formulation.
         M, L = self.max_streams, self._L
         mask = self._mask_table[jnp.clip(t, 0, L - 1)]            # (M, L)
         s_lo = jnp.maximum(t - (L - 1), 0)
@@ -106,8 +112,9 @@ class PolicyServer:
             jnp.where(act4, k_item, k_cache[rows, t]))
         v_cache = v_cache.at[rows, t].set(
             jnp.where(act4, v_item, v_cache[rows, t]))
-        t_next = jnp.where(
-            active, jnp.minimum(t + 1, self.max_episode_steps - 1), t)
+        # No clamp: step() refuses active streams whose episode budget is
+        # exhausted (t == max_episode_steps), so t never exceeds it here.
+        t_next = jnp.where(active, t + 1, t)
         if greedy:
             actions = jnp.stack([jnp.argmax(l, axis=-1) for l in logits],
                                 axis=-1).astype(jnp.int32)
@@ -123,6 +130,11 @@ class PolicyServer:
         ids = np.fromiter(stream_ids, dtype=np.int32)
         if ids.size == 0:
             return
+        if np.any((ids < 0) | (ids >= self.max_streams)):
+            bad = ids[(ids < 0) | (ids >= self.max_streams)]
+            raise ValueError(
+                f"stream ids {bad.tolist()} out of range [0, "
+                f"{self.max_streams}) — JAX would silently drop the scatter")
         ids_j = jnp.asarray(ids)
         self._k_cache = self._k_cache.at[ids_j].set(self._pe_k)
         self._v_cache = self._v_cache.at[ids_j].set(self._pe_v)
@@ -143,9 +155,25 @@ class PolicyServer:
                 f"obs must be {(self.max_streams,) + tuple(self.observation_shape)}, "
                 f"got {obs.shape}")
         if active is None:
-            active_j = jnp.ones((self.max_streams,), bool)
+            active_np = np.ones((self.max_streams,), bool)
         else:
-            active_j = jnp.asarray(np.asarray(active, dtype=bool))
+            active_np = np.asarray(active, dtype=bool)
+            if active_np.shape != (self.max_streams,):
+                raise ValueError(
+                    f"active must have shape ({self.max_streams},), got "
+                    f"{active_np.shape} — a shorter mask would silently "
+                    f"broadcast")
+        # An active stream whose episode budget is spent must be reset first;
+        # stepping it would rewrite its last memory slot (corrupted window).
+        t_now = np.asarray(self._t)
+        exhausted = active_np & (t_now >= self.max_episode_steps)
+        if np.any(exhausted):
+            raise ValueError(
+                f"streams {np.nonzero(exhausted)[0].tolist()} have reached "
+                f"max_episode_steps={self.max_episode_steps}; call reset() "
+                f"on them before stepping (the server has no done signal — "
+                f"episode boundaries are caller-driven)")
+        active_j = jnp.asarray(active_np)
         self._rng, step_rng = jax.random.split(self._rng)
         (self._k_cache, self._v_cache, self._t, actions, values
          ) = self._step_fn(self.params, self._k_cache, self._v_cache,

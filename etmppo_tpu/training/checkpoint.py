@@ -33,6 +33,15 @@ def save_model(path: str, params: Any, config: TrainConfig) -> None:
         pickle.dump(payload, f)
 
 
+def read_model_config(path: str) -> TrainConfig:
+    """Reads only the travelling config from a saved model artifact (lets a
+    consumer build env/model/params-template once and then call ``load_model``
+    with the template, instead of load_model reconstructing them itself)."""
+    with open(path, "rb") as f:
+        payload = pickle.load(f)
+    return config_from_dict(payload["config"])
+
+
 def load_model(path: str, params_template: Optional[Any] = None
                ) -> Tuple[Any, TrainConfig]:
     with open(path, "rb") as f:

@@ -102,3 +102,36 @@ def test_serve_rejects_bad_obs_shape(tiny_model_path):
     server = PolicyServer(path, max_streams=2)
     with pytest.raises(ValueError):
         server.step(np.zeros((3,) + tuple(env.observation_shape), np.float32))
+
+
+def test_serve_input_validation(tiny_model_path):
+    path, _, _, _, env = tiny_model_path
+    server = PolicyServer(path, max_streams=4, greedy=True)
+    obs = np.zeros((4,) + tuple(env.observation_shape), np.float32)
+
+    # A short active mask must not silently broadcast.
+    with pytest.raises(ValueError, match="active"):
+        server.step(obs, active=[False])
+
+    # Out-of-range reset ids must not be silently dropped.
+    with pytest.raises(ValueError, match="out of range"):
+        server.reset([4])
+    with pytest.raises(ValueError, match="out of range"):
+        server.reset([-1])
+
+
+def test_serve_refuses_exhausted_streams(tiny_model_path):
+    path, _, _, _, env = tiny_model_path
+    server = PolicyServer(path, max_streams=2, greedy=True)
+    server.reset(range(2))
+    obs = np.zeros((2,) + tuple(env.observation_shape), np.float32)
+    for _ in range(env.max_episode_steps):
+        server.step(obs)
+    assert list(server.steps) == [env.max_episode_steps] * 2
+    with pytest.raises(ValueError, match="max_episode_steps"):
+        server.step(obs)
+    # Inactive exhausted streams are fine; reset makes them steppable again.
+    server.step(obs, active=np.array([False, False]))
+    server.reset([0, 1])
+    server.step(obs)
+    assert list(server.steps) == [1, 1]
