@@ -36,20 +36,34 @@ def main():
     server.step(obs)  # compile
     # Reset so the timed window exercises normal in-episode steps.
     server.reset(range(a.streams))
-    t0 = time.perf_counter()
+    # Streams advance in lockstep, so the episode boundary can be tracked
+    # with a host-side counter — no per-iteration device->host read of
+    # server.steps inside the timed loop.  Resets are excluded from the
+    # timing (pure step cost); their count is reported alongside.
+    t_host = 0
+    n_resets = 0
+    reset_s = 0.0
+    elapsed = 0.0
     for _ in range(a.steps):
+        t0 = time.perf_counter()
         actions, values = server.step(obs)
-        # Streams must reset once their episode budget is spent (steps ==
-        # max_episode_steps); emulate episodic use.
-        if int(server.steps[0]) >= server.max_episode_steps:
+        elapsed += time.perf_counter() - t0
+        t_host += 1
+        if t_host >= server.max_episode_steps:
+            r0 = time.perf_counter()
             server.reset(range(a.streams))
-    elapsed = time.perf_counter() - t0
+            reset_s += time.perf_counter() - r0
+            t_host = 0
+            n_resets += 1
     per_step_ms = elapsed / a.steps * 1e3
     print(f"backend={jax.default_backend()} streams={a.streams} "
           f"steps={a.steps}")
     print(f"policy steps/s (x{a.streams} streams): "
           f"{a.steps * a.streams / elapsed:,.0f}")
     print(f"latency per batched step: {per_step_ms:.2f} ms")
+    if n_resets:
+        print(f"episode resets: {n_resets} (excluded from timing, "
+              f"{reset_s / n_resets * 1e3:.2f} ms each)")
 
 
 if __name__ == "__main__":

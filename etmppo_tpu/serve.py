@@ -106,14 +106,18 @@ class PolicyServer:
         k_item, v_item = self.model.apply(
             params, mem_item, t, method=type(self.model).project_memory)
         # Inactive slots keep their caches/counters (the write is masked).
+        # Inactive streams may sit at t == max_episode_steps (one past the
+        # cache); clamp so the masked read/write is in range by construction
+        # rather than via implicit OOB gather-clamp/scatter-drop semantics.
         act4 = active[:, None, None]
         rows = jnp.arange(M)
-        k_cache = k_cache.at[rows, t].set(
-            jnp.where(act4, k_item, k_cache[rows, t]))
-        v_cache = v_cache.at[rows, t].set(
-            jnp.where(act4, v_item, v_cache[rows, t]))
-        # No clamp: step() refuses active streams whose episode budget is
-        # exhausted (t == max_episode_steps), so t never exceeds it here.
+        t_w = jnp.minimum(t, self.max_episode_steps - 1)
+        k_cache = k_cache.at[rows, t_w].set(
+            jnp.where(act4, k_item, k_cache[rows, t_w]))
+        v_cache = v_cache.at[rows, t_w].set(
+            jnp.where(act4, v_item, v_cache[rows, t_w]))
+        # Active streams never reach t == max_episode_steps here: step()
+        # refuses active streams whose episode budget is exhausted.
         t_next = jnp.where(active, t + 1, t)
         if greedy:
             actions = jnp.stack([jnp.argmax(l, axis=-1) for l in logits],

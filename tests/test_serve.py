@@ -11,20 +11,25 @@ import jax.numpy as jnp
 
 from etmppo_tpu.config import load_config
 from etmppo_tpu.envs.factory import create_env
+from etmppo_tpu.ops import distributions
 from etmppo_tpu.models.actor_critic import ActorCriticModel
 from etmppo_tpu.ops.memory_index import build_memory_indices, build_memory_mask
 from etmppo_tpu.serve import PolicyServer
 from etmppo_tpu.training.checkpoint import save_model
 
 
-@pytest.fixture(scope="module")
-def tiny_model_path(tmp_path_factory):
+@pytest.fixture(scope="module", params=["", "relative"],
+                ids=["pe-none", "pe-relative"])
+def tiny_model_path(request, tmp_path_factory):
+    # Parametrized over positional_encoding so the KV-cache alignment is
+    # parity-tested end-to-end in PolicyServer for the PE-dependent path too
+    # (not only in test_fastpath's forward_with_kv unit tests).
     cfg = load_config("etmppo_tpu/configs/poc_memory_env.yaml")
     cfg = dataclasses.replace(
         cfg, hidden_layer_size=16,
         transformer=dataclasses.replace(
             cfg.transformer, num_blocks=2, embed_dim=16, num_heads=2,
-            memory_length=6))
+            memory_length=6, positional_encoding=request.param))
     env = create_env(cfg.environment)
     model = ActorCriticModel(
         config=cfg, obs_shape=env.observation_shape,
@@ -70,6 +75,44 @@ def test_serve_matches_raw_memory_path(tiny_model_path):
                                    rtol=1e-4, atol=1e-5)
         np.testing.assert_array_equal(actions, actions_ref)
     assert list(server.steps) == [T] * M
+
+
+def test_serve_sampling_matches_raw_logits(tiny_model_path):
+    """Sampling mode (greedy=False) must draw from the exact same logits as
+    the raw-memory path, with the server's documented rng stream (PRNGKey(seed)
+    split once per step)."""
+    path, cfg, model, params, env = tiny_model_path
+    M, T, seed = 3, 5, 123
+    trx = cfg.transformer
+    L = trx.memory_length
+    max_ep = env.max_episode_steps
+    server = PolicyServer(path, max_streams=M, greedy=False, seed=seed)
+    server.reset(range(M))
+
+    mask_table = np.asarray(build_memory_mask(L))
+    index_table = np.asarray(build_memory_indices(max_ep, L))
+    rng = jax.random.PRNGKey(seed)
+
+    np_rng = np.random.default_rng(11)
+    memory = np.zeros((M, max_ep, trx.num_blocks, trx.embed_dim), np.float32)
+    for t in range(T):
+        obs = np_rng.normal(size=(M,) + tuple(env.observation_shape)
+                            ).astype(np.float32)
+        indices = np.tile(index_table[t][None], (M, 1))
+        mask = np.tile(mask_table[min(t, L - 1)][None], (M, 1))
+        window = np.take_along_axis(
+            memory, indices[:, :, None, None], axis=1)
+        logits, value_ref, mem_item = model.apply(
+            params, jnp.asarray(obs), jnp.asarray(window), jnp.asarray(mask),
+            jnp.asarray(indices))
+        memory[:, t] = np.asarray(mem_item)
+        rng, step_rng = jax.random.split(rng)
+        actions_ref, _ = distributions.sample_multi(step_rng, logits)
+
+        actions, values = server.step(obs)
+        np.testing.assert_allclose(values, np.asarray(value_ref),
+                                   rtol=1e-4, atol=1e-5)
+        np.testing.assert_array_equal(actions, np.asarray(actions_ref))
 
 
 def test_serve_reset_and_inactive_masking(tiny_model_path):
