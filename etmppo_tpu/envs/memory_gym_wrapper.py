@@ -44,7 +44,9 @@ class MemoryGymWrapper:
     @property
     def max_episode_steps(self) -> int:
         self._env.reset()
-        return int(self._env.max_episode_steps)
+        # .unwrapped: gymnasium >= 1.0 removed implicit attribute forwarding
+        # through wrapper chains (gym.make adds OrderEnforcing etc.).
+        return int(self._env.unwrapped.max_episode_steps)
 
     def reset(self):
         params = self._reset_params

@@ -65,6 +65,71 @@ def test_sharded_matches_single_device(n_devices):
     assert r1["entropy"] == pytest.approx(r2["entropy"], rel=1e-3, abs=1e-5)
 
 
+class _MockPyEnv:
+    """Minimal reference-protocol Python env (duck-typed, README.md:216) so
+    the host-bridge x multi-device combination is testable without any
+    external env package."""
+
+    class _Space:
+        def __init__(self, shape=None, n=None):
+            self.shape = shape
+            self.n = n
+
+    observation_space = _Space(shape=(3,))
+    action_space = _Space(n=2)
+    max_episode_steps = 10  # >= the test config's memory_length (8)
+
+    def _obs(self):
+        t = float(self.t)
+        return np.asarray([np.sin(t), np.cos(t), t / 10.0], np.float32)
+
+    def reset(self):
+        self.t = 0
+        return self._obs()
+
+    def step(self, action):
+        self.t += 1
+        done = self.t >= 9
+        info = ({"reward": 0.1 * self.t, "length": float(self.t)}
+                if done else None)
+        return self._obs(), np.float32(0.1 * self.t), done, info
+
+    def close(self):
+        pass
+
+
+@pytest.mark.parametrize("groups", [1, 2])
+def test_host_env_trainer_on_mesh(n_devices, monkeypatch, groups):
+    """Host (Python process-pool) environments x multi-device mesh: the
+    HostRolloutState (numpy obs + device arrays) must place correctly via
+    shard_worker_tree and train one update end-to-end."""
+    from etmppo_tpu.envs.host import HostEnvBatch
+    import etmppo_tpu.training.trainer as trainer_mod
+
+    cfg = _tiny_cfg(n_devices)
+    cfg = dataclasses.replace(cfg, host_pipeline_groups=groups,
+                              checkpoint_interval=0)
+    monkeypatch.setattr(
+        trainer_mod, "create_env",
+        lambda env_cfg: HostEnvBatch(make_env=_MockPyEnv, n_procs=2))
+    trainer = PPOTrainer(cfg, run_id="shard-host-test", enable_metrics=False)
+    try:
+        assert trainer.is_host_env
+        assert trainer.mesh is not None
+        # Worker-leading device state must be sharded over the mesh.
+        assert not trainer.rollout_state.memory.sharding.is_fully_replicated
+        result = trainer.train_one_update()
+        assert np.isfinite(result["loss"])
+        assert np.isfinite(result["kl"])
+        # Memory stays on device after the update; obs stays host-side.
+        state = trainer.rollout_state
+        assert isinstance(state.obs, np.ndarray)
+        assert state.memory.shape[0] == cfg.n_workers
+        trainer.train_one_update()
+    finally:
+        trainer.close()
+
+
 def test_shard_worker_tree_placement(n_devices):
     mesh = make_mesh(n_devices)
     tree = {
