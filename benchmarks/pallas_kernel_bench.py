@@ -113,6 +113,24 @@ def main():
     print(f"bwd  pallas {t_bwd_p:7.2f} ms   xla {t_bwd_x:7.2f} ms   "
           f"speedup {t_bwd_x / t_bwd_p:.2f}x")
 
+    # FLOP utilization: analytic matmul count (XLA cannot see inside the
+    # Pallas custom call) against the chip's bf16 peak.  Window attention is
+    # HBM-bandwidth-bound at these shapes (arithmetic intensity ~ L), so a
+    # low %-of-peak is expected — the bandwidth column is the binding one.
+    from etmppo_tpu.utils.flops import (device_peak_flops, mfu,
+                                        window_attention_flops)
+    peak = device_peak_flops()
+    f_fwd = window_attention_flops(a.B, a.L, a.D)
+    f_bwd = f_fwd + window_attention_flops(a.B, a.L, a.D, backward=True)
+    # Bytes moved (f32): K+V windows in, outputs out — the dominant streams.
+    bytes_fwd = 4.0 * (2 * a.B * a.L * a.D + a.B * a.D)
+    for name, fl, by, t_ms in (("fwd", f_fwd, bytes_fwd, t_fwd_p),
+                               ("bwd", f_bwd, 3 * bytes_fwd, t_bwd_p)):
+        s = t_ms / 1e3
+        print(f"{name}  {fl / 1e9:6.2f} GFLOP  {fl / s / 1e12:6.3f} TFLOP/s  "
+              f"MFU {mfu(fl, s, peak) * 100:5.2f}%   "
+              f"~{by / s / 1e9:6.1f} GB/s HBM")
+
     if a.grouped:
         fwd_grouped = jax.jit(
             lambda *xs: pwa._pallas_forward_grouped(*xs, H))
