@@ -95,6 +95,9 @@ def enjoy_main(argv=None):
     parser.add_argument("--episodes", type=int, default=1)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--no-render", action="store_true")
+    parser.add_argument("--render-dir", default=None,
+                        help="Where image-env episode GIFs are written "
+                             "(default: renders/<model-stem>/)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -103,4 +106,4 @@ def enjoy_main(argv=None):
     from .enjoy import run_episodes
 
     run_episodes(args.model, episodes=args.episodes,
-                 render=not args.no_render)
+                 render=not args.no_render, render_dir=args.render_dir)

@@ -23,7 +23,11 @@ from .training.checkpoint import load_model
 
 
 def run_episodes(model_path: str, episodes: int = 1, render: bool = True,
-                 seed: int = 0):
+                 seed: int = 0, render_dir: Optional[str] = None):
+    """``render`` prints ASCII for envs that support it; image-observation
+    envs save one animated GIF per episode (reference enjoy.py:51 renders to
+    a window — headless equivalent) under ``render_dir`` (default:
+    ``renders/<model-stem>/``)."""
     params, config = load_model(model_path)
     env = create_env(config.environment)
     model = ActorCriticModel(
@@ -48,6 +52,12 @@ def run_episodes(model_path: str, episodes: int = 1, render: bool = True,
         actions, _ = distributions.sample_multi(key, logits)
         return actions[0], value[0], memory
 
+    is_image_env = len(env.observation_shape) == 3
+    if render and is_image_env and render_dir is None:
+        import os
+        stem = os.path.splitext(os.path.basename(model_path))[0]
+        render_dir = os.path.join("renders", stem)
+
     rng = jax.random.PRNGKey(seed)
     returns = []
     for ep in range(episodes):
@@ -57,10 +67,13 @@ def run_episodes(model_path: str, episodes: int = 1, render: bool = True,
         done = False
         t = 0
         info = {}
+        frames = []
         while not done:
             rng, act_key, step_key = jax.random.split(rng, 3)
             if render and hasattr(env, "render_ascii"):
                 print(env.render_ascii(state))
+            if render and is_image_env:
+                frames.append(np.asarray(obs))
             action, value, memory = policy_step(
                 params, jnp.asarray(obs), memory, jnp.int32(t), act_key)
             state, obs, reward, done, info = env.step(state, action, step_key)
@@ -72,4 +85,11 @@ def run_episodes(model_path: str, episodes: int = 1, render: bool = True,
         print(f"Episode reward: {ep_return}")
         if "success" in info:
             print(f"Episode success: {bool(info['success'])}")
+        if render and is_image_env and frames:
+            import os
+            from .utils.render import save_episode_gif
+            frames.append(np.asarray(obs))  # terminal observation
+            path = save_episode_gif(
+                frames, os.path.join(render_dir, f"episode_{ep:03d}.gif"))
+            print(f"Episode rendered to {path}")
     return returns
