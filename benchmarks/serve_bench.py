@@ -23,6 +23,11 @@ def main():
     ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--greedy", action="store_true")
+    ap.add_argument("--device", action="store_true",
+                    help="device-throughput mode: enqueue steps via "
+                         "step_device (no per-step host transfer) and sync "
+                         "once — measures chip-side step cost, excluding "
+                         "host/tunnel round-trip latency")
     a = ap.parse_args()
 
     import jax
@@ -36,6 +41,30 @@ def main():
     server.step(obs)  # compile
     # Reset so the timed window exercises normal in-episode steps.
     server.reset(range(a.streams))
+
+    if a.device:
+        # All steps enqueue asynchronously; one sync at the end.  Wall time /
+        # steps then approximates the per-step DEVICE cost (dispatch and any
+        # host<->device RTT overlap with compute), vs the sync-path number
+        # below which includes a full round trip per step.
+        t_host, last = 0, None
+        t0 = time.perf_counter()
+        for _ in range(a.steps):
+            last = server.step_device(obs)
+            t_host += 1
+            if t_host >= server.max_episode_steps:
+                server.reset(range(a.streams))  # included: part of serving
+                t_host = 0
+        import jax as _jax
+        _jax.block_until_ready(last)
+        elapsed = time.perf_counter() - t0
+        per_step_ms = elapsed / a.steps * 1e3
+        print(f"backend={jax.default_backend()} streams={a.streams} "
+              f"steps={a.steps} mode=device-throughput")
+        print(f"policy steps/s (x{a.streams} streams): "
+              f"{a.steps * a.streams / elapsed:,.0f}")
+        print(f"device time per batched step: {per_step_ms:.2f} ms")
+        return
     # Streams advance in lockstep, so the episode boundary can be tracked
     # with a host-side counter — no per-iteration device->host read of
     # server.steps inside the timed loop.  Resets are excluded from the

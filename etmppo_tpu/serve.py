@@ -81,7 +81,7 @@ class PolicyServer:
         self._v_cache = jnp.tile(self._pe_v[None], (M, 1, 1, 1))
         self._t = jnp.zeros((M,), jnp.int32)
         self._rng = jax.random.PRNGKey(seed)
-        self._step_fn = jax.jit(self._step_impl, donate_argnums=(1, 2, 3),
+        self._step_fn = jax.jit(self._step_impl, donate_argnums=(1, 2, 3, 6),
                                 static_argnums=(7,))
 
     # ------------------------------------------------------------------
@@ -92,6 +92,10 @@ class PolicyServer:
         # at s_lo, mask-row lookup, forward_with_kv, project-once write) —
         # kept provably identical by tests/test_serve.py's step-for-step
         # comparison against the raw-memory reference formulation.
+        # The rng split and the exhausted-stream freeze live INSIDE the jit so
+        # step_device() costs exactly one device dispatch per step.
+        rng, step_rng = jax.random.split(rng)
+        active = jnp.logical_and(active, t < self.max_episode_steps)
         M, L = self.max_streams, self._L
         mask = self._mask_table[jnp.clip(t, 0, L - 1)]            # (M, L)
         s_lo = jnp.maximum(t - (L - 1), 0)
@@ -123,8 +127,8 @@ class PolicyServer:
             actions = jnp.stack([jnp.argmax(l, axis=-1) for l in logits],
                                 axis=-1).astype(jnp.int32)
         else:
-            actions, _ = distributions.sample_multi(rng, logits)
-        return k_cache, v_cache, t_next, actions, value
+            actions, _ = distributions.sample_multi(step_rng, logits)
+        return k_cache, v_cache, t_next, rng, actions, value
 
     # ------------------------------------------------------------------
 
@@ -178,11 +182,29 @@ class PolicyServer:
                 f"on them before stepping (the server has no done signal — "
                 f"episode boundaries are caller-driven)")
         active_j = jnp.asarray(active_np)
-        self._rng, step_rng = jax.random.split(self._rng)
-        (self._k_cache, self._v_cache, self._t, actions, values
+        (self._k_cache, self._v_cache, self._t, self._rng, actions, values
          ) = self._step_fn(self.params, self._k_cache, self._v_cache,
-                           self._t, obs, active_j, step_rng, self.greedy)
+                           self._t, obs, active_j, self._rng, self.greedy)
         return np.asarray(actions), np.asarray(values)
+
+    def step_device(self, obs, active: Optional[jax.Array] = None
+                    ) -> Tuple[jax.Array, jax.Array]:
+        """Throughput path: identical policy step but returns DEVICE arrays
+        and performs no host-side validation or transfer, so callers can
+        enqueue many steps back-to-back (async dispatch) and sync once.
+
+        The caller owns episode bookkeeping: streams at t == max_episode_steps
+        silently stop advancing (the cache write and counter are clamped /
+        frozen), unlike ``step`` which raises.  Use ``step`` unless per-step
+        host latency is the bottleneck (e.g. over a remote device tunnel).
+        """
+        obs = jnp.asarray(obs, jnp.float32)
+        if active is None:
+            active = jnp.ones((self.max_streams,), bool)
+        (self._k_cache, self._v_cache, self._t, self._rng, actions, values
+         ) = self._step_fn(self.params, self._k_cache, self._v_cache,
+                           self._t, obs, active, self._rng, self.greedy)
+        return actions, values
 
     @property
     def steps(self) -> np.ndarray:

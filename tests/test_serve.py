@@ -163,6 +163,39 @@ def test_serve_input_validation(tiny_model_path):
         server.reset([-1])
 
 
+def test_step_device_matches_step(tiny_model_path):
+    """step_device (throughput path) must advance the exact same policy/state
+    as step: same rng stream, same caches, same outputs."""
+    path, _, _, _, env = tiny_model_path
+    M = 3
+    obs_rng = np.random.default_rng(2)
+    s_ref = PolicyServer(path, max_streams=M, greedy=False, seed=9)
+    s_dev = PolicyServer(path, max_streams=M, greedy=False, seed=9)
+    s_ref.reset(range(M))
+    s_dev.reset(range(M))
+    for _ in range(4):
+        obs = obs_rng.normal(size=(M,) + tuple(env.observation_shape)
+                             ).astype(np.float32)
+        a_ref, v_ref = s_ref.step(obs)
+        a_dev, v_dev = s_dev.step_device(obs)
+        np.testing.assert_array_equal(a_ref, np.asarray(a_dev))
+        np.testing.assert_allclose(v_ref, np.asarray(v_dev), rtol=1e-6)
+    assert list(s_dev.steps) == [4] * M
+
+
+def test_step_device_freezes_exhausted_streams(tiny_model_path):
+    path, _, _, _, env = tiny_model_path
+    server = PolicyServer(path, max_streams=2, greedy=True)
+    server.reset(range(2))
+    obs = np.zeros((2,) + tuple(env.observation_shape), np.float32)
+    for _ in range(env.max_episode_steps + 3):  # overrun must not raise
+        server.step_device(obs)
+    assert list(server.steps) == [env.max_episode_steps] * 2
+    server.reset([0, 1])
+    server.step_device(obs)
+    assert list(server.steps) == [1, 1]
+
+
 def test_serve_refuses_exhausted_streams(tiny_model_path):
     path, _, _, _, env = tiny_model_path
     server = PolicyServer(path, max_streams=2, greedy=True)
