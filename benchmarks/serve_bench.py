@@ -23,6 +23,9 @@ def main():
     ap.add_argument("--streams", type=int, default=64)
     ap.add_argument("--steps", type=int, default=100)
     ap.add_argument("--greedy", action="store_true")
+    ap.add_argument("--profile", metavar="DIR", default=None,
+                    help="capture a jax.profiler trace of the timed loop "
+                         "(inspect device timelines in TensorBoard)")
     ap.add_argument("--device", action="store_true",
                     help="device-throughput mode: enqueue steps via "
                          "step_device (no per-step host transfer) and sync "
@@ -41,6 +44,11 @@ def main():
     server.step(obs)  # compile
     # Reset so the timed window exercises normal in-episode steps.
     server.reset(range(a.streams))
+
+    profiler = None
+    if a.profile:
+        from jax import profiler as profiler
+        profiler.start_trace(a.profile)
 
     if a.device:
         # All steps enqueue asynchronously; one sync at the end.  Wall time /
@@ -64,6 +72,9 @@ def main():
         print(f"policy steps/s (x{a.streams} streams): "
               f"{a.steps * a.streams / elapsed:,.0f}")
         print(f"device time per batched step: {per_step_ms:.2f} ms")
+        if profiler is not None:
+            profiler.stop_trace()
+            print(f"profiler trace written to {a.profile}")
         return
     # Streams advance in lockstep, so the episode boundary can be tracked
     # with a host-side counter — no per-iteration device->host read of
@@ -85,6 +96,9 @@ def main():
             t_host = 0
             n_resets += 1
     per_step_ms = elapsed / a.steps * 1e3
+    if profiler is not None:
+        profiler.stop_trace()
+        print(f"profiler trace written to {a.profile}")
     print(f"backend={jax.default_backend()} streams={a.streams} "
           f"steps={a.steps}")
     print(f"policy steps/s (x{a.streams} streams): "
