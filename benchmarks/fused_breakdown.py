@@ -33,13 +33,20 @@ def main():
     ap.add_argument("--chunk", type=int, default=0,
                     help="fused chunk length (default: config "
                          "updates_per_launch)")
+    ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                    help="override the config's compute_dtype (bf16 vs fp32 "
+                         "A/B at the same scale)")
     a = ap.parse_args()
+
+    import dataclasses
 
     import jax
     from etmppo_tpu.config import load_config
     from etmppo_tpu.training.trainer import PPOTrainer
 
     cfg = load_config(a.config)
+    if a.dtype:
+        cfg = dataclasses.replace(cfg, compute_dtype=a.dtype)
     trainer = PPOTrainer(cfg, run_id="breakdown", enable_metrics=False)
     if trainer.fused_loop is None:
         raise SystemExit("needs a pure-JAX env (fused loop)")

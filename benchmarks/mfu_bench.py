@@ -30,7 +30,12 @@ def main():
                          "chunk); runs on the active backend")
     ap.add_argument("--seconds-per-update", type=float, default=0.0,
                     help="use an externally measured s/update instead")
+    ap.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                    help="override the config's compute_dtype (bf16 vs fp32 "
+                         "A/B at the same scale)")
     a = ap.parse_args()
+
+    import dataclasses
 
     import jax
     from etmppo_tpu.config import load_config
@@ -38,6 +43,8 @@ def main():
     from etmppo_tpu.utils import flops as flops_lib
 
     cfg = load_config(a.config)
+    if a.dtype:
+        cfg = dataclasses.replace(cfg, compute_dtype=a.dtype)
     trainer = PPOTrainer(cfg, run_id="mfu-bench", enable_metrics=False)
     if trainer.fused_loop is None:
         raise SystemExit("mfu_bench needs a pure-JAX env (fused loop)")
@@ -90,6 +97,7 @@ def main():
               f"MFU {util * 100:.2f}%  env-steps/s {steps:,.0f}")
         print(json.dumps({
             "config": os.path.basename(a.config),
+            "compute_dtype": cfg.compute_dtype,
             "flops_per_update": total_flops, "seconds_per_update": sec,
             "mfu": util, "env_steps_per_second": steps,
             "backend": backend}))

@@ -149,10 +149,20 @@ class PPOUpdateFn:
 
         def make_op(i):
             def op(q):
-                return fused_window_attention(
-                    q, tk[:, :, i], tv[:, :, i], pe_k[:, i], pe_v[:, i],
+                # The Pallas kernels compute in fp32 (VMEM scratch + MXU
+                # accumulation); under compute_dtype=bfloat16 the projections
+                # arrive bf16 — cast at the kernel boundary and cast the
+                # result back so the surrounding network stays bf16.  The
+                # casts are free next to the kernel's own HBM traffic, and
+                # autodiff converts the cotangents symmetrically.
+                out = fused_window_attention(
+                    q.astype(jnp.float32), tk[:, :, i].astype(jnp.float32),
+                    tv[:, :, i].astype(jnp.float32),
+                    pe_k[:, i].astype(jnp.float32),
+                    pe_v[:, i].astype(jnp.float32),
                     mb["w_idx"], mb["tl_start"], mb["tl_n_valid"],
                     mb["tl_s_lo"], mb["memory_mask"], trx.num_heads)
+                return out.astype(q.dtype)
             return op
 
         ops = [make_op(i) for i in range(trx.num_blocks)]

@@ -69,6 +69,26 @@ def test_bfloat16_compute_path_trains():
         assert leaf.dtype == jnp.float32
 
 
+def test_bfloat16_with_pallas_attention_trains():
+    """bf16 compute + the Pallas attention path: the kernel computes fp32
+    internally, so _loss_pallas casts at the kernel boundary
+    (training/ppo.py make_op) — the combination must train with finite
+    stats and fp32 params (on CPU the kernels run in interpret mode)."""
+    import numpy as np
+    cfg = _tiny_cfg(updates_per_launch=2)
+    cfg = dataclasses.replace(cfg, compute_dtype="bfloat16",
+                              use_pallas_attention=True,
+                              pallas_backward=True)
+    trainer = PPOTrainer(cfg, run_id="bf16-pallas", enable_metrics=False)
+    results = trainer.train_chunk(2)
+    for r in results:
+        assert np.isfinite(r["loss"])
+        assert np.isfinite(r["kl"])
+    import jax.numpy as jnp
+    for leaf in jax.tree.leaves(trainer.params):
+        assert leaf.dtype == jnp.float32
+
+
 def test_obs_uint8_storage_trains():
     """uint8 obs storage (HBM saving for image envs) runs and matches fp32
     closely on a quantization-free env (PocMemory obs are multiples of 0.2
