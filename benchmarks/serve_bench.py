@@ -31,6 +31,18 @@ def main():
                          "step_device (no per-step host transfer) and sync "
                          "once — measures chip-side step cost, excluding "
                          "host/tunnel round-trip latency")
+    ap.add_argument("--fused", type=int, default=0, metavar="T",
+                    help="fused mode: run T-step chunks via "
+                         "PolicyServer.step_many (ONE dispatch per chunk, "
+                         "lax.scan inside) — measures true per-step chip "
+                         "cost even over a high-latency device link")
+    ap.add_argument("--resident", action="store_true",
+                    help="with --device: pre-stage the obs batch on the "
+                         "device once and reuse it, so the timed loop "
+                         "excludes the per-step host->device obs transfer "
+                         "too (isolates pure chip step cost; on a remote "
+                         "tunnel the obs upload otherwise dominates — e.g. "
+                         "64 streams x 84x84x3 f32 = 5.4 MB/step)")
     a = ap.parse_args()
 
     import jax
@@ -50,11 +62,46 @@ def main():
         from jax import profiler as profiler
         profiler.start_trace(a.profile)
 
+    if a.fused:
+        import jax.numpy as jnp
+        T = a.fused
+        if T > server.max_episode_steps:
+            raise SystemExit(f"--fused {T} exceeds the episode budget "
+                             f"({server.max_episode_steps})")
+        obs_seq = jnp.asarray(np.random.default_rng(1).random(
+            (T, a.streams) + tuple(server.observation_shape), np.float32))
+        if a.resident:
+            obs_seq = jax.device_put(obs_seq)
+            jax.block_until_ready(obs_seq)
+        server.step_many(obs_seq)  # compile
+        server.reset(range(a.streams))
+        chunks = max(1, a.steps // T)
+        t0 = time.perf_counter()
+        last = None
+        for _ in range(chunks):
+            server.reset(range(a.streams))  # episode boundary per chunk
+            last = server.step_many(obs_seq)
+        jax.block_until_ready(last)
+        elapsed = time.perf_counter() - t0
+        n_steps = chunks * T
+        print(f"backend={jax.default_backend()} streams={a.streams} "
+              f"steps={n_steps} mode=fused (chunk T={T}"
+              + (", device-resident obs)" if a.resident else ")"))
+        print(f"policy steps/s (x{a.streams} streams): "
+              f"{n_steps * a.streams / elapsed:,.0f}")
+        print(f"device time per batched step: {elapsed / n_steps * 1e3:.3f} ms")
+        if profiler is not None:
+            profiler.stop_trace()
+            print(f"profiler trace written to {a.profile}")
+        return
     if a.device:
         # All steps enqueue asynchronously; one sync at the end.  Wall time /
         # steps then approximates the per-step DEVICE cost (dispatch and any
         # host<->device RTT overlap with compute), vs the sync-path number
         # below which includes a full round trip per step.
+        if a.resident:
+            obs = jax.device_put(jax.numpy.asarray(obs))
+            jax.block_until_ready(obs)
         t_host, last = 0, None
         t0 = time.perf_counter()
         for _ in range(a.steps):
@@ -68,7 +115,8 @@ def main():
         elapsed = time.perf_counter() - t0
         per_step_ms = elapsed / a.steps * 1e3
         print(f"backend={jax.default_backend()} streams={a.streams} "
-              f"steps={a.steps} mode=device-throughput")
+              f"steps={a.steps} mode=device-throughput"
+              + (" (device-resident obs)" if a.resident else ""))
         print(f"policy steps/s (x{a.streams} streams): "
               f"{a.steps * a.streams / elapsed:,.0f}")
         print(f"device time per batched step: {per_step_ms:.2f} ms")

@@ -83,6 +83,7 @@ class PolicyServer:
         self._rng = jax.random.PRNGKey(seed)
         self._step_fn = jax.jit(self._step_impl, donate_argnums=(1, 2, 3, 6),
                                 static_argnums=(7,))
+        self._scan_fn = None  # built lazily by step_many
 
     # ------------------------------------------------------------------
 
@@ -204,6 +205,42 @@ class PolicyServer:
         (self._k_cache, self._v_cache, self._t, self._rng, actions, values
          ) = self._step_fn(self.params, self._k_cache, self._v_cache,
                            self._t, obs, active, self._rng, self.greedy)
+        return actions, values
+
+    def step_many(self, obs_seq, active: Optional[jax.Array] = None
+                  ) -> Tuple[jax.Array, jax.Array]:
+        """T policy steps for all streams in ONE device program.
+
+        obs_seq: (T, max_streams, *observation_shape).  The T steps run as a
+        ``lax.scan`` inside a single jit dispatch, so per-step dispatch /
+        host-link latency is amortized T-fold — the serving analogue of the
+        trainer's fused update chunks (training/fused.py).  Use for offline
+        batch inference (pre-collected obs sequences, large-scale evaluation)
+        or whenever the device link has high per-dispatch latency.
+
+        Same per-step semantics as ``step_device`` (exhausted streams
+        freeze).  Returns device arrays: actions (T, M, n_branches) int32,
+        values (T, M) float32.
+        """
+        obs_seq = jnp.asarray(obs_seq, jnp.float32)
+        if active is None:
+            active = jnp.ones((self.max_streams,), bool)
+        if self._scan_fn is None:
+            def scan_impl(params, k_cache, v_cache, t, obs_seq, active, rng,
+                          greedy: bool):
+                def body(carry, obs):
+                    k, v, t_, rng_ = carry
+                    k, v, t_, rng_, actions, values = self._step_impl(
+                        params, k, v, t_, obs, active, rng_, greedy)
+                    return (k, v, t_, rng_), (actions, values)
+                (k_cache, v_cache, t, rng), (actions, values) = jax.lax.scan(
+                    body, (k_cache, v_cache, t, rng), obs_seq)
+                return k_cache, v_cache, t, rng, actions, values
+            self._scan_fn = jax.jit(scan_impl, donate_argnums=(1, 2, 3, 6),
+                                    static_argnums=(7,))
+        (self._k_cache, self._v_cache, self._t, self._rng, actions, values
+         ) = self._scan_fn(self.params, self._k_cache, self._v_cache,
+                           self._t, obs_seq, active, self._rng, self.greedy)
         return actions, values
 
     @property

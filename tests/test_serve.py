@@ -211,3 +211,43 @@ def test_serve_refuses_exhausted_streams(tiny_model_path):
     server.reset([0, 1])
     server.step(obs)
     assert list(server.steps) == [1, 1]
+
+
+def test_step_many_matches_step_device(tiny_model_path):
+    """step_many (fused lax.scan, one dispatch for T steps) must advance
+    state and produce actions/values identical to T step_device calls."""
+    path, _, _, _, env = tiny_model_path
+    T, M = 7, 3
+    obs_seq = np.random.default_rng(3).normal(
+        size=(T, M) + tuple(env.observation_shape)).astype(np.float32)
+
+    ref = PolicyServer(path, max_streams=M, greedy=True, seed=0)
+    ref.reset(range(M))
+    acts_ref, vals_ref = [], []
+    for t in range(T):
+        a, v = ref.step_device(obs_seq[t])
+        acts_ref.append(np.asarray(a))
+        vals_ref.append(np.asarray(v))
+
+    fused = PolicyServer(path, max_streams=M, greedy=True, seed=0)
+    fused.reset(range(M))
+    a_many, v_many = fused.step_many(obs_seq)
+    np.testing.assert_array_equal(np.asarray(a_many), np.stack(acts_ref))
+    np.testing.assert_allclose(np.asarray(v_many), np.stack(vals_ref),
+                               atol=1e-5)
+    assert list(fused.steps) == [T] * M
+    # State continues correctly: one more step matches on both paths.
+    obs = obs_seq[0]
+    a1, v1 = ref.step_device(obs)
+    a2, v2 = fused.step_device(obs)
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+
+
+def test_step_many_freezes_exhausted_streams(tiny_model_path):
+    path, _, _, _, env = tiny_model_path
+    server = PolicyServer(path, max_streams=2, greedy=True)
+    server.reset(range(2))
+    T = env.max_episode_steps + 4  # overrun inside the scan must not raise
+    obs_seq = np.zeros((T, 2) + tuple(env.observation_shape), np.float32)
+    server.step_many(obs_seq)
+    assert list(server.steps) == [env.max_episode_steps] * 2
