@@ -1,0 +1,118 @@
+"""Minimal HTTP front-end for PolicyServer: production serving over JSON.
+
+No reference equivalent (the reference has no serving surface at all); this
+completes the deployment story around ``PolicyServer`` (serve.py): one
+process owns the device and the per-stream KV caches, remote clients drive
+episodes over HTTP.
+
+    python -m etmppo_tpu.serve_http --model models/run.nn --streams 64 --port 8765
+
+API (JSON over POST, stdlib-only on both sides):
+
+* ``POST /reset``  body ``{"streams": [0, 3, ...]}`` -> ``{"ok": true}``
+  Resets those streams to fresh episodes (zero episodic memory).
+* ``POST /step``   body ``{"obs": [[...], ...], "active": [true, ...]?}``
+  ``obs`` is the full (streams, *obs_shape) batch as nested lists (rows of
+  inactive streams may hold anything).  -> ``{"actions": [[...], ...],
+  "values": [...], "steps": [...]}``.
+* ``GET /info`` -> model/env metadata (obs shape, action branches, stream
+  count, episode budget) so clients can self-configure.
+
+The device work runs on the single server thread that owns the JAX arrays
+(requests serialize; batching across streams, not across requests, is the
+throughput mechanism — submit all streams' observations in one /step).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+
+
+def make_handler(server_obj):
+    class Handler(BaseHTTPRequestHandler):
+        policy = server_obj
+
+        def _send(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args):  # quiet by default
+            pass
+
+        def do_GET(self):
+            if self.path != "/info":
+                return self._send(404, {"error": "unknown path"})
+            p = self.policy
+            self._send(200, {
+                "observation_shape": list(p.observation_shape),
+                "action_branches": list(p.action_branches),
+                "max_streams": p.max_streams,
+                "max_episode_steps": p.max_episode_steps,
+                "greedy": p.greedy,
+            })
+
+        def do_POST(self):
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(length) or b"{}")
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._send(400, {"error": f"bad JSON: {e}"})
+            try:
+                if self.path == "/reset":
+                    self.policy.reset(req.get("streams", []))
+                    return self._send(200, {"ok": True})
+                if self.path == "/step":
+                    obs = np.asarray(req["obs"], np.float32)
+                    active = req.get("active")
+                    if active is not None:
+                        active = np.asarray(active, bool)
+                    actions, values = self.policy.step(obs, active=active)
+                    return self._send(200, {
+                        "actions": actions.tolist(),
+                        "values": values.tolist(),
+                        "steps": self.policy.steps.tolist(),
+                    })
+                return self._send(404, {"error": "unknown path"})
+            except (ValueError, KeyError) as e:
+                # PolicyServer validation errors (shape, exhausted streams,
+                # bad ids) come back as 400s with the message intact.
+                return self._send(400, {"error": str(e)})
+
+    return Handler
+
+
+def serve(model_path: str, streams: int, port: int, greedy: bool = False,
+          host: str = "127.0.0.1"):
+    """Build the PolicyServer and return a ready (unstarted) HTTPServer.
+
+    Separated from main() so tests can drive it on an ephemeral port.
+    """
+    from .serve import PolicyServer
+    policy = PolicyServer(model_path, max_streams=streams, greedy=greedy)
+    policy.reset(range(streams))
+    return HTTPServer((host, port), make_handler(policy))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="HTTP policy serving")
+    ap.add_argument("--model", required=True)
+    ap.add_argument("--streams", type=int, default=64)
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--greedy", action="store_true")
+    a = ap.parse_args(argv)
+    httpd = serve(a.model, a.streams, a.port, greedy=a.greedy, host=a.host)
+    print(f"serving {a.model} on http://{a.host}:{httpd.server_address[1]} "
+          f"({a.streams} streams)")
+    httpd.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

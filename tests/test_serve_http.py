@@ -1,0 +1,89 @@
+"""HTTP serving front-end (etmppo_tpu/serve_http.py): the JSON API must
+drive the same PolicyServer policy (reference has no serving surface)."""
+import dataclasses
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+
+from etmppo_tpu.config import load_config
+from etmppo_tpu.envs.factory import create_env
+from etmppo_tpu.models.actor_critic import ActorCriticModel
+from etmppo_tpu.serve import PolicyServer
+from etmppo_tpu.serve_http import serve
+from etmppo_tpu.training.checkpoint import save_model
+
+
+@pytest.fixture(scope="module")
+def http_env(tmp_path_factory):
+    cfg = load_config("etmppo_tpu/configs/poc_memory_env.yaml")
+    cfg = dataclasses.replace(
+        cfg, hidden_layer_size=16,
+        transformer=dataclasses.replace(
+            cfg.transformer, num_blocks=2, embed_dim=16, num_heads=2,
+            memory_length=6))
+    env = create_env(cfg.environment)
+    model = ActorCriticModel(
+        config=cfg, obs_shape=env.observation_shape,
+        action_branches=env.action_branches,
+        max_episode_steps=env.max_episode_steps)
+    params = model.init_params(jax.random.PRNGKey(0))
+    path = str(tmp_path_factory.mktemp("serve_http") / "tiny.nn")
+    save_model(path, params, cfg)
+
+    httpd = serve(path, streams=3, port=0, greedy=True)  # ephemeral port
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, path, env
+    httpd.shutdown()
+
+
+def _post(base, path, payload):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_info_and_step_matches_local_policy(http_env):
+    base, model_path, env = http_env
+    with urllib.request.urlopen(base + "/info") as r:
+        info = json.loads(r.read())
+    assert info["max_streams"] == 3
+    assert tuple(info["observation_shape"]) == tuple(env.observation_shape)
+
+    # Same model served locally must agree step-for-step (greedy).
+    local = PolicyServer(model_path, max_streams=3, greedy=True, seed=0)
+    local.reset(range(3))
+    rng = np.random.default_rng(5)
+    status, _ = _post(base, "/reset", {"streams": [0, 1, 2]})
+    assert status == 200
+    for _ in range(4):
+        obs = rng.normal(size=(3,) + tuple(env.observation_shape)
+                         ).astype(np.float32)
+        status, resp = _post(base, "/step", {"obs": obs.tolist()})
+        assert status == 200
+        a_local, v_local = local.step(obs)
+        np.testing.assert_array_equal(np.asarray(resp["actions"]), a_local)
+        np.testing.assert_allclose(np.asarray(resp["values"]), v_local,
+                                   atol=1e-5)
+    assert resp["steps"] == [4, 4, 4]
+
+
+def test_http_validation_errors(http_env):
+    base, _, env = http_env
+    status, resp = _post(base, "/reset", {"streams": [99]})
+    assert status == 400 and "out of range" in resp["error"]
+    status, resp = _post(base, "/step", {"obs": [[0.0]]})
+    assert status == 400
+    status, resp = _post(base, "/nope", {})
+    assert status == 404
