@@ -44,6 +44,12 @@ def main():
                          "tunnel the obs upload otherwise dominates — e.g. "
                          "64 streams x 84x84x3 f32 = 5.4 MB/step)")
     a = ap.parse_args()
+    if a.resident and not (a.device or a.fused):
+        raise SystemExit(
+            "--resident only affects --device/--fused modes; in the default "
+            "sync mode the timed loop still includes per-step host transfer, "
+            "so the flag would silently measure the wrong thing. Add "
+            "--device (or --fused T), or drop --resident.")
 
     import jax
     from etmppo_tpu.serve import PolicyServer

@@ -223,8 +223,21 @@ class PolicyServer:
         values (T, M) float32.
         """
         obs_seq = jnp.asarray(obs_seq, jnp.float32)
+        # Cheap host-side metadata checks (no device sync): a wrong shape
+        # would otherwise surface as an opaque scan/vmap trace error after
+        # the donated buffers are already consumed.
+        expected_tail = (self.max_streams,) + tuple(self.observation_shape)
+        if obs_seq.ndim != 1 + len(expected_tail) \
+                or obs_seq.shape[1:] != expected_tail:
+            raise ValueError(
+                f"obs_seq must be (T, {', '.join(map(str, expected_tail))}), "
+                f"got {obs_seq.shape}")
         if active is None:
             active = jnp.ones((self.max_streams,), bool)
+        elif tuple(np.shape(active)) != (self.max_streams,):
+            raise ValueError(
+                f"active must have shape ({self.max_streams},), got "
+                f"{tuple(np.shape(active))}")
         if self._scan_fn is None:
             def scan_impl(params, k_cache, v_cache, t, obs_seq, active, rng,
                           greedy: bool):

@@ -15,8 +15,25 @@ API (JSON over POST, stdlib-only on both sides):
   ``obs`` is the full (streams, *obs_shape) batch as nested lists (rows of
   inactive streams may hold anything).  -> ``{"actions": [[...], ...],
   "values": [...], "steps": [...]}``.
+* ``POST /step_many`` body ``{"obs_seq": [[[...], ...], ...],
+  "active": [true, ...]?}`` — ``obs_seq`` is (T, streams, *obs_shape): T
+  policy steps fused into ONE device program (``PolicyServer.step_many``'s
+  scan), so per-step dispatch latency is amortized T-fold.  ->
+  ``{"actions": [[[...], ...], ...], "values": [[...], ...],
+  "steps": [...]}`` with actions (T, streams, branches) and values
+  (T, streams).  Exhausted streams freeze instead of raising (step_device
+  semantics).
 * ``GET /info`` -> model/env metadata (obs shape, action branches, stream
   count, episode budget) so clients can self-configure.
+
+Wire bandwidth is the real ceiling for image observations: one 84x84x3
+float32 obs is ~85 KB as JSON-encoded numbers (several x the binary size),
+so 256 streams x 1 step is ~21 MB per /step request — /step_many multiplies
+that by T.  The fused scan's measured 133k policy-steps/s is a device-side
+number; over HTTP/JSON the transport dominates for image envs (vector-obs
+envs are fine).  For production image serving put the obs source on the
+server's host (or add a binary codec); this stdlib surface is the
+reference-grade demo of the API shape.
 
 The device work runs on the single server thread that owns the JAX arrays
 (requests serialize; batching across streams, not across requests, is the
@@ -34,6 +51,11 @@ import numpy as np
 def make_handler(server_obj):
     class Handler(BaseHTTPRequestHandler):
         policy = server_obj
+        # Per-request socket timeout: without it, one client that connects
+        # and stalls (or half-sends a body) wedges the single-threaded
+        # serving loop for everyone.  BaseHTTPRequestHandler honors this on
+        # the connection socket.
+        timeout = 30.0
 
         def _send(self, code: int, payload: dict) -> None:
             body = json.dumps(payload).encode()
@@ -64,6 +86,10 @@ def make_handler(server_obj):
                 req = json.loads(self.rfile.read(length) or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
                 return self._send(400, {"error": f"bad JSON: {e}"})
+            if not isinstance(req, dict):
+                return self._send(400, {
+                    "error": f"request body must be a JSON object, "
+                             f"got {type(req).__name__}"})
             try:
                 if self.path == "/reset":
                     self.policy.reset(req.get("streams", []))
@@ -79,10 +105,24 @@ def make_handler(server_obj):
                         "values": values.tolist(),
                         "steps": self.policy.steps.tolist(),
                     })
+                if self.path == "/step_many":
+                    obs_seq = np.asarray(req["obs_seq"], np.float32)
+                    active = req.get("active")
+                    if active is not None:
+                        active = np.asarray(active, bool)
+                    actions, values = self.policy.step_many(
+                        obs_seq, active=active)
+                    return self._send(200, {
+                        "actions": np.asarray(actions).tolist(),
+                        "values": np.asarray(values).tolist(),
+                        "steps": self.policy.steps.tolist(),
+                    })
                 return self._send(404, {"error": "unknown path"})
-            except (ValueError, KeyError) as e:
+            except (ValueError, KeyError, TypeError, AttributeError) as e:
                 # PolicyServer validation errors (shape, exhausted streams,
-                # bad ids) come back as 400s with the message intact.
+                # bad ids) and malformed field types (e.g. {"obs": null})
+                # come back as 400s with the message intact instead of a
+                # dropped connection + server traceback.
                 return self._send(400, {"error": str(e)})
 
     return Handler

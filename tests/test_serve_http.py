@@ -87,3 +87,41 @@ def test_http_validation_errors(http_env):
     assert status == 400
     status, resp = _post(base, "/nope", {})
     assert status == 404
+
+
+def test_http_malformed_bodies_return_400(http_env):
+    """Non-dict JSON and wrong-typed fields must be clean 400s, not dropped
+    connections with a server-side traceback (ADVICE round 3)."""
+    base, _, env = http_env
+    status, resp = _post(base, "/step", [1, 2])          # non-dict body
+    assert status == 400 and "JSON object" in resp["error"]
+    status, resp = _post(base, "/step", {"obs": None})   # wrong-typed field
+    assert status == 400
+    status, resp = _post(base, "/step_many", {"obs_seq": "nope"})
+    assert status == 400
+
+
+def test_http_step_many_matches_local_scan(http_env):
+    """/step_many must reproduce PolicyServer.step_many (the fused T-step
+    scan) exactly — the 133k steps/s path reachable over the wire."""
+    base, model_path, env = http_env
+    local = PolicyServer(model_path, max_streams=3, greedy=True, seed=0)
+    local.reset(range(3))
+    status, _ = _post(base, "/reset", {"streams": [0, 1, 2]})
+    assert status == 200
+    rng = np.random.default_rng(11)
+    T = 5
+    obs_seq = rng.normal(size=(T, 3) + tuple(env.observation_shape)
+                         ).astype(np.float32)
+    status, resp = _post(base, "/step_many", {"obs_seq": obs_seq.tolist()})
+    assert status == 200
+    a_local, v_local = local.step_many(obs_seq)
+    np.testing.assert_array_equal(np.asarray(resp["actions"]),
+                                  np.asarray(a_local))
+    np.testing.assert_allclose(np.asarray(resp["values"]),
+                               np.asarray(v_local), atol=1e-5)
+    assert resp["steps"] == [T, T, T]
+    # Bad shape comes back as a 400 with the server's clear message.
+    status, resp = _post(base, "/step_many",
+                         {"obs_seq": obs_seq[:, :2].tolist()})
+    assert status == 400 and "obs_seq must be" in resp["error"]
