@@ -28,12 +28,18 @@ API (JSON over POST, stdlib-only on both sides):
 
 Wire bandwidth is the real ceiling for image observations: one 84x84x3
 float32 obs is ~85 KB as JSON-encoded numbers (several x the binary size),
-so 256 streams x 1 step is ~21 MB per /step request — /step_many multiplies
-that by T.  The fused scan's measured 133k policy-steps/s is a device-side
-number; over HTTP/JSON the transport dominates for image envs (vector-obs
-envs are fine).  For production image serving put the obs source on the
-server's host (or add a binary codec); this stdlib surface is the
-reference-grade demo of the API shape.
+so 256 streams x 1 step is ~21 MB binary / ~80+ MB JSON per /step request —
+/step_many multiplies that by T.  The fused scan's measured 133k
+policy-steps/s is a device-side number; over the wire the transport
+dominates for image envs (vector-obs envs are fine).  For image serving use
+the BINARY obs codec: POST the same routes with
+``Content-Type: application/octet-stream`` and a raw little-endian float32
+body — (streams, *obs_shape) for /step, (T, streams, *obs_shape) for
+/step_many (T inferred from the byte count); optional ``X-Active`` header
+carries the active mask as comma-separated 0/1.  Responses stay JSON
+(actions/values are small).  This removes JSON float encoding (~4x fewer
+bytes, no number parsing) — the remaining cost is the raw obs bytes, which
+is the floor any remote-obs design pays.
 
 The device work runs on the single server thread that owns the JAX arrays
 (requests serialize; batching across streams, not across requests, is the
@@ -80,12 +86,47 @@ def make_handler(server_obj):
                 "greedy": p.greedy,
             })
 
+        def _binary_request(self, body: bytes):
+            """Decode a raw float32 LE obs body into the equivalent JSON-dict
+            request.  /step expects exactly (streams, *obs_shape) bytes;
+            /step_many expects a whole multiple (T inferred)."""
+            p = self.policy
+            frame = int(p.max_streams * np.prod(p.observation_shape, dtype=np.int64))
+            n = len(body) // 4
+            if len(body) % 4 or n == 0 or n % frame:
+                raise ValueError(
+                    f"binary body must be k * {frame} float32 values "
+                    f"({p.max_streams} streams x obs {tuple(p.observation_shape)}), "
+                    f"got {len(body)} bytes")
+            flat = np.frombuffer(body, dtype="<f4")
+            req = {}
+            if self.path == "/step":
+                if n != frame:
+                    raise ValueError(
+                        f"/step binary body must be exactly {frame} float32 "
+                        f"values, got {n} (use /step_many for T-step bodies)")
+                req["obs"] = flat.reshape(
+                    (p.max_streams,) + tuple(p.observation_shape))
+            else:
+                req["obs_seq"] = flat.reshape(
+                    (n // frame, p.max_streams) + tuple(p.observation_shape))
+            active_hdr = self.headers.get("X-Active")
+            if active_hdr is not None:
+                req["active"] = [v.strip() not in ("0", "", "false")
+                                 for v in active_hdr.split(",")]
+            return req
+
         def do_POST(self):
             try:
                 length = int(self.headers.get("Content-Length", 0))
-                req = json.loads(self.rfile.read(length) or b"{}")
+                body = self.rfile.read(length)
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0]
+                if ctype == "application/octet-stream":
+                    req = self._binary_request(body)
+                else:
+                    req = json.loads(body or b"{}")
             except (ValueError, json.JSONDecodeError) as e:
-                return self._send(400, {"error": f"bad JSON: {e}"})
+                return self._send(400, {"error": f"bad request body: {e}"})
             if not isinstance(req, dict):
                 return self._send(400, {
                     "error": f"request body must be a JSON object, "

@@ -101,6 +101,59 @@ def test_http_malformed_bodies_return_400(http_env):
     assert status == 400
 
 
+def _post_binary(base, path, body: bytes, active=None):
+    headers = {"Content-Type": "application/octet-stream"}
+    if active is not None:
+        headers["X-Active"] = ",".join("1" if a else "0" for a in active)
+    req = urllib.request.Request(base + path, data=body, headers=headers)
+    try:
+        with urllib.request.urlopen(req) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_http_binary_obs_codec_matches_json(http_env):
+    """Raw float32 bodies (the image-serving wire format) must produce the
+    identical policy outputs as the JSON encoding of the same obs."""
+    base, model_path, env = http_env
+    rng = np.random.default_rng(21)
+    shape = (3,) + tuple(env.observation_shape)
+
+    _post(base, "/reset", {"streams": [0, 1, 2]})
+    obs = rng.normal(size=shape).astype(np.float32)
+    status, via_json = _post(base, "/step", {"obs": obs.tolist()})
+    assert status == 200
+    _post(base, "/reset", {"streams": [0, 1, 2]})
+    status, via_bin = _post_binary(base, "/step", obs.astype("<f4").tobytes())
+    assert status == 200
+    assert via_bin["actions"] == via_json["actions"]
+    np.testing.assert_allclose(via_bin["values"], via_json["values"],
+                               atol=1e-6)
+
+    # /step_many with T inferred from the byte count + X-Active header.
+    _post(base, "/reset", {"streams": [0, 1, 2]})
+    obs_seq = rng.normal(size=(4,) + shape).astype(np.float32)
+    status, many_json = _post(base, "/step_many",
+                              {"obs_seq": obs_seq.tolist(),
+                               "active": [True, True, False]})
+    assert status == 200
+    _post(base, "/reset", {"streams": [0, 1, 2]})
+    status, many_bin = _post_binary(base, "/step_many",
+                                    obs_seq.astype("<f4").tobytes(),
+                                    active=[True, True, False])
+    assert status == 200
+    assert many_bin["actions"] == many_json["actions"]
+    assert many_bin["steps"] == many_json["steps"] == [4, 4, 0]
+
+    # Malformed binary bodies are clean 400s.
+    status, resp = _post_binary(base, "/step", b"\x00" * 7)
+    assert status == 400 and "float32" in resp["error"]
+    status, resp = _post_binary(base, "/step",
+                                obs_seq.astype("<f4").tobytes())
+    assert status == 400 and "/step_many" in resp["error"]
+
+
 def test_http_step_many_matches_local_scan(http_env):
     """/step_many must reproduce PolicyServer.step_many (the fused T-step
     scan) exactly — the 133k steps/s path reachable over the wire."""
