@@ -19,6 +19,7 @@ Prints one JSON line per metric; the FINAL line keeps the
 train_env_steps_per_second_poc_memory schema (driver-parsed), with the
 flagship numbers also attached as extra keys.
 """
+import gc
 import json
 import os
 import subprocess
@@ -62,7 +63,13 @@ def _measure_config(config_path: str, run_id: str, timed_chunks: int) -> float:
         trainer.train_chunk(chunk)
     jax.block_until_ready(trainer.params)
     elapsed = time.perf_counter() - t0
-    return timed_chunks * chunk * cfg.n_workers * cfg.worker_steps / elapsed
+    sps = timed_chunks * chunk * cfg.n_workers * cfg.worker_steps / elapsed
+    # Free this trainer's device state before the caller measures the next
+    # config: a resident flagship trainer otherwise adds HBM pressure and
+    # variance to the following measurement (ADVICE round 4).
+    del trainer
+    gc.collect()
+    return sps
 
 
 def main():
@@ -74,7 +81,7 @@ def main():
     # own JSON line; the driver parses the FINAL line, which stays poc.
     flagship_sps = _measure_config(
         os.path.join(ROOT, "etmppo_tpu/configs/minigrid.yaml"),
-        run_id="bench-flagship", timed_chunks=2)
+        run_id="bench-flagship", timed_chunks=4)
     print(json.dumps({
         "metric": "train_env_steps_per_second_minigrid_flagship",
         "value": round(flagship_sps, 1),

@@ -9,7 +9,7 @@ ways:
 
 * JSON:   {"obs_seq": [...nested lists...]} — numbers as decimal text.
 * binary: raw little-endian float32 body (Content-Type:
-  application/octet-stream; T inferred from the byte count).
+  application/octet-stream; explicit X-T header carries the step count).
 
 Reports request bytes, end-to-end policy-steps/s, and the codec speedup.
 Loopback HTTP removes network latency, so the measured difference is pure
@@ -62,7 +62,8 @@ def main():
         "json": (json.dumps({"obs_seq": obs_seq.tolist()}).encode(),
                  {"Content-Type": "application/json"}),
         "binary": (obs_seq.astype("<f4").tobytes(),
-                   {"Content-Type": "application/octet-stream"}),
+                   {"Content-Type": "application/octet-stream",
+                    "X-T": str(a.T)}),
     }
     results = {}
     for name, (body, headers) in codecs.items():

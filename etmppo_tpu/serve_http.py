@@ -35,8 +35,11 @@ dominates for image envs (vector-obs envs are fine).  For image serving use
 the BINARY obs codec: POST the same routes with
 ``Content-Type: application/octet-stream`` and a raw little-endian float32
 body — (streams, *obs_shape) for /step, (T, streams, *obs_shape) for
-/step_many (T inferred from the byte count); optional ``X-Active`` header
-carries the active mask as comma-separated 0/1.  Responses stay JSON
+/step_many with a REQUIRED ``X-T`` header carrying T (the byte count must
+equal T * streams * prod(obs_shape) * 4; a mismatch is a 400, never a silent
+reshape).  An optional ``X-Streams`` header is validated against the
+server's stream count.  The optional ``X-Active`` header carries the active
+mask as comma-separated 0/1 tokens (strictly 0 or 1).  Responses stay JSON
 (actions/values are small).  This removes JSON float encoding (~4x fewer
 bytes, no number parsing) — the remaining cost is the raw obs bytes, which
 is the floor any remote-obs design pays.
@@ -49,6 +52,8 @@ from __future__ import annotations
 
 import argparse
 import json
+import sys
+import traceback
 from http.server import BaseHTTPRequestHandler, HTTPServer
 
 import numpy as np
@@ -89,8 +94,16 @@ def make_handler(server_obj):
         def _binary_request(self, body: bytes):
             """Decode a raw float32 LE obs body into the equivalent JSON-dict
             request.  /step expects exactly (streams, *obs_shape) bytes;
-            /step_many expects a whole multiple (T inferred)."""
+            /step_many requires an explicit X-T header and exactly
+            T * streams * prod(obs_shape) values — a byte count that merely
+            happens to be a frame multiple is rejected, never silently
+            reshaped into a scrambled stream/time layout."""
             p = self.policy
+            streams_hdr = self.headers.get("X-Streams")
+            if streams_hdr is not None and streams_hdr.strip() != str(p.max_streams):
+                raise ValueError(
+                    f"X-Streams={streams_hdr.strip()} does not match the "
+                    f"server's {p.max_streams} streams (see /info)")
             frame = int(p.max_streams * np.prod(p.observation_shape, dtype=np.int64))
             n = len(body) // 4
             if len(body) % 4 or n == 0 or n % frame:
@@ -108,12 +121,31 @@ def make_handler(server_obj):
                 req["obs"] = flat.reshape(
                     (p.max_streams,) + tuple(p.observation_shape))
             else:
+                t_hdr = self.headers.get("X-T")
+                if t_hdr is None:
+                    raise ValueError(
+                        "binary /step_many requires an X-T header carrying "
+                        "the step count T (refusing to infer the time/stream "
+                        "layout from the byte count alone)")
+                try:
+                    t = int(t_hdr)
+                except ValueError:
+                    raise ValueError(f"X-T must be an integer, got {t_hdr!r}")
+                if t <= 0 or t * frame != n:
+                    raise ValueError(
+                        f"X-T={t} implies {t * frame} float32 values "
+                        f"({p.max_streams} streams x obs "
+                        f"{tuple(p.observation_shape)}), got {n}")
                 req["obs_seq"] = flat.reshape(
-                    (n // frame, p.max_streams) + tuple(p.observation_shape))
+                    (t, p.max_streams) + tuple(p.observation_shape))
             active_hdr = self.headers.get("X-Active")
             if active_hdr is not None:
-                req["active"] = [v.strip() not in ("0", "", "false")
-                                 for v in active_hdr.split(",")]
+                tokens = [v.strip() for v in active_hdr.split(",")]
+                if any(tok not in ("0", "1") for tok in tokens):
+                    raise ValueError(
+                        "X-Active must be comma-separated 0/1 tokens, got "
+                        f"{active_hdr!r}")
+                req["active"] = [tok == "1" for tok in tokens]
             return req
 
         def do_POST(self):
@@ -159,12 +191,18 @@ def make_handler(server_obj):
                         "steps": self.policy.steps.tolist(),
                     })
                 return self._send(404, {"error": "unknown path"})
-            except (ValueError, KeyError, TypeError, AttributeError) as e:
+            except (ValueError, KeyError, TypeError) as e:
                 # PolicyServer validation errors (shape, exhausted streams,
                 # bad ids) and malformed field types (e.g. {"obs": null})
                 # come back as 400s with the message intact instead of a
                 # dropped connection + server traceback.
                 return self._send(400, {"error": str(e)})
+            except AttributeError:
+                # An AttributeError out of PolicyServer is almost always a
+                # server-side bug, not bad input: log the traceback and
+                # report it as a 500 rather than mislabeling it 400.
+                traceback.print_exc(file=sys.stderr)
+                return self._send(500, {"error": "internal server error"})
 
     return Handler
 

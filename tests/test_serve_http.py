@@ -101,10 +101,12 @@ def test_http_malformed_bodies_return_400(http_env):
     assert status == 400
 
 
-def _post_binary(base, path, body: bytes, active=None):
+def _post_binary(base, path, body: bytes, active=None, t=None):
     headers = {"Content-Type": "application/octet-stream"}
     if active is not None:
         headers["X-Active"] = ",".join("1" if a else "0" for a in active)
+    if t is not None:
+        headers["X-T"] = str(t)
     req = urllib.request.Request(base + path, data=body, headers=headers)
     try:
         with urllib.request.urlopen(req) as r:
@@ -131,7 +133,7 @@ def test_http_binary_obs_codec_matches_json(http_env):
     np.testing.assert_allclose(via_bin["values"], via_json["values"],
                                atol=1e-6)
 
-    # /step_many with T inferred from the byte count + X-Active header.
+    # /step_many with an explicit X-T header + X-Active header.
     _post(base, "/reset", {"streams": [0, 1, 2]})
     obs_seq = rng.normal(size=(4,) + shape).astype(np.float32)
     status, many_json = _post(base, "/step_many",
@@ -141,7 +143,7 @@ def test_http_binary_obs_codec_matches_json(http_env):
     _post(base, "/reset", {"streams": [0, 1, 2]})
     status, many_bin = _post_binary(base, "/step_many",
                                     obs_seq.astype("<f4").tobytes(),
-                                    active=[True, True, False])
+                                    active=[True, True, False], t=4)
     assert status == 200
     assert many_bin["actions"] == many_json["actions"]
     assert many_bin["steps"] == many_json["steps"] == [4, 4, 0]
@@ -152,6 +154,25 @@ def test_http_binary_obs_codec_matches_json(http_env):
     status, resp = _post_binary(base, "/step",
                                 obs_seq.astype("<f4").tobytes())
     assert status == 400 and "/step_many" in resp["error"]
+    # Binary /step_many without X-T is refused (no layout inference), and a
+    # mismatched X-T is a 400, not a silent reshape (ADVICE round 4).
+    status, resp = _post_binary(base, "/step_many",
+                                obs_seq.astype("<f4").tobytes())
+    assert status == 400 and "X-T" in resp["error"]
+    status, resp = _post_binary(base, "/step_many",
+                                obs_seq.astype("<f4").tobytes(), t=2)
+    assert status == 400 and "X-T=2" in resp["error"]
+    # Non-0/1 X-Active tokens are rejected, not treated as truthy.
+    req = urllib.request.Request(
+        base + "/step_many", data=obs_seq.astype("<f4").tobytes(),
+        headers={"Content-Type": "application/octet-stream", "X-T": "4",
+                 "X-Active": "1,True,0"})
+    try:
+        with urllib.request.urlopen(req) as r:
+            status, resp = r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        status, resp = e.code, json.loads(e.read())
+    assert status == 400 and "X-Active" in resp["error"]
 
 
 def test_http_step_many_matches_local_scan(http_env):
